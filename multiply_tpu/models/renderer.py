@@ -1,0 +1,537 @@
+"""Multi-person VolSDF renderer: per-person canonical SDF fields + SMPL
+deformation + NeRF++ background, composited with interval-based volume
+rendering.
+
+Parity target: code/lib/model/multiply.py (class Multiply). TPU-first
+redesign relative to the reference:
+
+  * the python `for person_id in person_list` loop (multiply.py:254) is a
+    **vmapped person axis** over stacked per-person params/state;
+  * host-side trimesh OBB ray culling (multiply.py:256, a GPU->CPU sync every
+    step) becomes an in-graph ray/AABB mask — non-hitting rays keep static
+    shapes and are zeroed by masking, not compacted;
+  * nerfacc's variable-length packed composition (multiply.py:425-480) becomes
+    a fixed-shape (R, P*S) sort + cumulative free-energy scan — identical
+    interval math (alpha_i = 1-exp(-sigma_i * delta_i) with each person's own
+    interval lengths, transmittance in sorted order);
+  * the reverse-mode autograd chains for normals (multiply.py:620-661) become
+    one batched VJP for the SDF gradient; the deformer Jacobian is the blended
+    bone rotation in closed form (weights are stop-grad);
+  * kaolin in/off-surface mesh tests (multiply.py:313-316) query a per-person
+    canonical SDF voxel grid baked once at setup.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..body.server import SMPLServer, smpl_server_forward
+from ..ops.density import laplace_beta, laplace_density
+from ..ops.mesh_ops import grid_query, ray_aabb_hit, sdf_grid
+from ..utils.cameras import get_camera_params
+from .deformer import SMPLDeformer
+from .networks import ImplicitNet, RenderingNet
+from .ray_sampler import SamplerConfig, error_bound_sample
+
+OUTLIER_SDF = 4.0  # large SDF for KNN outliers at eval (multiply.py:143)
+
+
+class PersonState(NamedTuple):
+    """Stacked-over-persons pytree of all per-person static state."""
+
+    server: SMPLServer
+    deformer: SMPLDeformer
+    cano_grid: dict  # baked canonical SDF grid {"grid","origin","spacing"}
+    surface_sample_logits: jnp.ndarray  # (V,) vertex sampling logits for the
+    # SMPL-surface loss (head/hands/feet excluded, multiply.py:339-346)
+
+
+class RenderInputs(NamedTuple):
+    """One frame's render request (single camera, R rays)."""
+
+    uv: jnp.ndarray  # (R, 2)
+    pose: jnp.ndarray  # (4, 4) cam-to-world
+    intrinsics: jnp.ndarray  # (3, 3)
+    scale: jnp.ndarray  # (P,)
+    transl: jnp.ndarray  # (P, 3)
+    thetas: jnp.ndarray  # (P, 72)
+    betas: jnp.ndarray  # (P, 10)
+    frame_idx: jnp.ndarray  # () int
+    epoch: jnp.ndarray  # () int — drives loss/conditioning schedules
+
+
+class MultiplyRenderer:
+    """Static model definition; all compute methods are pure in `params`."""
+
+    def __init__(self, conf, num_persons: int, num_frames: int):
+        self.conf = conf
+        self.P = num_persons
+        self.num_frames = num_frames
+        self.dim_frame = conf.get("dim_frame_encoding", 32)
+        self.scene_sphere = conf.implicit_network.get("scene_bounding_sphere", 3.0)
+        self.threshold = 0.05  # off-surface threshold (multiply.py:88)
+        self.smpl_surface_weight = conf.loss.get("smpl_surface_weight", 0)
+
+        self.fg_implicit = ImplicitNet.from_config(conf.implicit_network)
+        self.fg_render = RenderingNet.from_config(conf.rendering_network)
+        self.bg_implicit = ImplicitNet.from_config(conf.bg_implicit_network)
+        self.bg_render = RenderingNet.from_config(conf.bg_rendering_network)
+        self.sampler_cfg = SamplerConfig.from_config(
+            conf.ray_sampler, scene_bounding_sphere=self.scene_sphere
+        )
+        self.beta_init = float(conf.density.params_init.get("beta", 0.1))
+        self.beta_min = float(conf.density.get("beta_min", 1e-4))
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> dict:
+        kf, kr, kb, kbr, kl = jax.random.split(key, 5)
+        d_in = self.fg_implicit.d_in
+        cond_dim = {"smpl": 69, "frame": 32, "smpl_id": 133, "none": 0}[
+            self.fg_implicit.cond
+        ]
+        x = jnp.zeros((2, d_in))
+        cond = jnp.zeros((cond_dim,)) if cond_dim else None
+
+        # per-person nets: vmapped init over person seeds
+        fg_imp = jax.vmap(lambda k: self.fg_implicit.init(k, x, cond))(
+            jax.random.split(kf, self.P)
+        )
+        feat = jnp.zeros((2, self.fg_implicit.feature_vector_size))
+        fg_ren = jax.vmap(
+            lambda k: self.fg_render.init(
+                k, x, x, -x, jnp.zeros((69,)), feat
+            )
+        )(jax.random.split(kr, self.P))
+
+        bg_x = jnp.zeros((2, self.bg_implicit.d_in))
+        bg_imp = self.bg_implicit.init(kb, bg_x, jnp.zeros((self.dim_frame,)))
+        bg_ren = self.bg_render.init(
+            kbr,
+            None,
+            None,
+            jnp.zeros((2, 3)),
+            None,
+            feat,
+            frame_latent=jnp.zeros((self.dim_frame,)),
+        )
+        frame_latent = (
+            jax.random.normal(kl, (self.num_frames, self.dim_frame)) * 0.01
+        )
+        return {
+            "fg_implicit": fg_imp,
+            "fg_render": fg_ren,
+            "bg_implicit": bg_imp,
+            "bg_render": bg_ren,
+            "frame_latent": frame_latent,
+            "beta": jnp.asarray([self.beta_init]),
+        }
+
+    def build_person_state(
+        self,
+        servers: list[SMPLServer],
+        surface_logits: list[np.ndarray] | None = None,
+        grid_res: int = 64,
+    ) -> PersonState:
+        """Bake per-person canonical state (host-time, not jitted)."""
+        states = []
+        for i, server in enumerate(servers):
+            deformer = SMPLDeformer.create(server)
+            grid = sdf_grid(server.verts_c, server.model.faces, res=grid_res)
+            logits = (
+                jnp.asarray(surface_logits[i], jnp.float32)
+                if surface_logits is not None
+                else jnp.zeros((server.verts_c.shape[0],))
+            )
+            states.append(
+                PersonState(
+                    server=server,
+                    deformer=deformer,
+                    cano_grid=grid,
+                    surface_sample_logits=logits,
+                )
+            )
+        return jax.tree.map(lambda *xs: jnp.stack(xs, 0), *states)
+
+    # ------------------------------------------------------------------
+    # pieces
+    # ------------------------------------------------------------------
+
+    def _implicit(self, person_params, x, cond_pose):
+        """Foreground SDF+feature for one person: (N,3) -> (N, 1+F)."""
+        return self.fg_implicit.apply(person_params, x, cond_pose)
+
+    def _sdf_with_deformer(
+        self, person_params, deformer: SMPLDeformer, tfs, posed_verts, cond_pose,
+        x, train: bool,
+    ):
+        """multiply.py:137-151 — inverse-warp then canonical SDF."""
+        x_c, outlier = deformer.inverse(x, tfs, posed_verts)
+        out = self._implicit(person_params, x_c, cond_pose)
+        sdf = out[:, 0]
+        if not train:
+            sdf = jnp.where(outlier, OUTLIER_SDF, sdf)
+        return sdf, x_c, out[:, 1:]
+
+    def _person_rays(
+        self,
+        person_params,
+        state: PersonState,
+        scale,
+        transl,
+        thetas,
+        betas,
+        cond_pose,
+        ray_o,
+        ray_d,
+        beta0,
+        train: bool,
+        key,
+    ) -> dict:
+        """Everything per-person: SMPL, sampling, SDF, color, normals.
+
+        vmapped over the person axis by the caller.
+        """
+        R = ray_o.shape[0]
+        smpl_out = smpl_server_forward(state.server, scale, transl, thetas, betas)
+        tfs = smpl_out["smpl_tfs"]
+        verts = smpl_out["smpl_verts"]
+
+        # in-graph replacement of the OBB ray culling: padded AABB hit mask
+        center = 0.5 * (jnp.max(verts, 0) + jnp.min(verts, 0))
+        half = 0.5 * (jnp.max(verts, 0) - jnp.min(verts, 0)) * 1.2
+        hit = ray_aabb_hit(ray_o, ray_d, center - half, center + half)  # (R,)
+
+        sdf_only = lambda pts: self._sdf_with_deformer(
+            person_params, state.deformer, tfs, verts, cond_pose, pts, train
+        )[0]
+        samp = error_bound_sample(
+            self.sampler_cfg,
+            lambda pts: jax.lax.stop_gradient(sdf_only(jax.lax.stop_gradient(pts))),
+            ray_o,
+            ray_d,
+            beta0,
+            key=key if train else None,
+        )
+        z_all = jax.lax.stop_gradient(samp["z_vals"])  # (R, S+1) incl. far
+        z_vals, z_max = z_all[:, :-1], z_all[:, -1]
+        S = z_vals.shape[-1]
+
+        pts = (ray_o[:, None, :] + z_vals[..., None] * ray_d[:, None, :]).reshape(-1, 3)
+        sdf, x_c, feat = self._sdf_with_deformer(
+            person_params, state.deformer, tfs, verts, cond_pose, pts, train
+        )
+
+        # normals: nabla_c sdf via one batched VJP; J = blended bone rotation
+        def sdf_batch(xc):
+            return self._implicit(person_params, xc, cond_pose)[:, 0]
+
+        _, vjp_fn = jax.vjp(sdf_batch, x_c)
+        (sdf_grad_c,) = vjp_fn(jnp.ones_like(sdf))
+        _, J = state.deformer.forward_jacobian(x_c, tfs)
+        from ..ops.skinning import inv3x3
+
+        n_d = jnp.einsum("ni,nij->nj", sdf_grad_c, inv3x3(J))
+        normals = n_d / jnp.maximum(
+            jnp.linalg.norm(n_d, axis=-1, keepdims=True), 1e-6
+        )
+
+        return {
+            "z_vals": z_vals,
+            "z_max": z_max,
+            "sdf": sdf.reshape(R, S),
+            "x_c": x_c,
+            "feat": feat,
+            "normals": normals,
+            "hit": hit,
+            "tfs": tfs,
+            "verts": verts,
+            "smpl_out": smpl_out,
+        }
+
+    # ------------------------------------------------------------------
+    # full forward
+    # ------------------------------------------------------------------
+
+    def render(
+        self,
+        params: dict,
+        state: PersonState,  # stacked over P
+        inputs: RenderInputs,
+        train: bool,
+        key: jax.Array | None = None,
+    ) -> dict[str, Any]:
+        cfg = self.sampler_cfg
+        ray_d, cam_loc = get_camera_params(inputs.uv, inputs.pose, inputs.intrinsics)
+        R = ray_d.shape[0]
+        ray_o = jnp.broadcast_to(cam_loc, (R, 3))
+
+        beta = laplace_beta(params["beta"][0], self.beta_min)
+        beta0 = jax.lax.stop_gradient(beta)
+
+        # epoch-keyed conditioning pose (multiply.py:270-273)
+        cond_pose = inputs.thetas[:, 3:] / jnp.pi  # (P, 69)
+        if train:
+            ep = inputs.epoch
+            zero_cond = jnp.logical_or(ep < 20, ep % 20 == 0)
+            cond_pose = jnp.where(zero_cond, 0.0, cond_pose)
+
+        keys = jax.random.split(key, self.P) if key is not None else None
+
+        def person_fn(pp, pr, st, sc, tr, th, be, cp, k):
+            out = self._person_rays(
+                pp, st, sc, tr, th, be, cp, ray_o, ray_d, beta0, train, k
+            )
+            rgb = self.fg_render.apply(
+                pr, out["x_c"], out["normals"], -jnp.repeat(
+                    ray_d, out["z_vals"].shape[-1], axis=0
+                ), cp, out["feat"],
+            )
+            out["rgb"] = rgb
+            return out
+
+        pout = jax.vmap(person_fn)(
+            params["fg_implicit"],
+            params["fg_render"],
+            state,
+            inputs.scale,
+            inputs.transl,
+            inputs.thetas,
+            inputs.betas,
+            cond_pose,
+            keys if keys is not None else jnp.zeros((self.P, 2), jnp.uint32),
+        )
+
+        S = pout["z_vals"].shape[-1]
+
+        # ---------------- interval composition over persons ----------------
+        z = pout["z_vals"]  # (P, R, S)
+        z_max = pout["z_max"]  # (P, R)
+        ends = jnp.concatenate([z[..., 1:], z_max[..., None]], axis=-1)
+        delta = ends - z  # (P, R, S)
+        sigma = laplace_density(pout["sdf"], beta)  # (P, R, S)
+        sigma = sigma * pout["hit"][:, :, None]  # mask non-hitting rays
+
+        fe = sigma * delta  # free energy per interval
+        rgb = pout["rgb"].reshape(self.P, R, S, 3)
+        normals = pout["normals"].reshape(self.P, R, S, 3)
+
+        def flat(x):  # (P,R,S,...) -> (R, P*S, ...)
+            x = jnp.moveaxis(x, 0, 1)  # (R,P,S,...)
+            return x.reshape((R, self.P * S) + x.shape[3:])
+
+        ends_f, fe_f = flat(ends), flat(fe)
+        rgb_f, nrm_f = flat(rgb), flat(normals)
+        pid = jnp.broadcast_to(
+            jnp.arange(self.P)[:, None, None], (self.P, R, S)
+        )
+        pid_f = flat(pid)
+
+        order = jnp.argsort(ends_f, axis=-1)
+        fe_s = jnp.take_along_axis(fe_f, order, axis=-1)
+        rgb_s = jnp.take_along_axis(rgb_f, order[..., None], axis=-2)
+        nrm_s = jnp.take_along_axis(nrm_f, order[..., None], axis=-2)
+        pid_s = jnp.take_along_axis(pid_f, order, axis=-1)
+
+        alpha = 1.0 - jnp.exp(-fe_s)
+        shifted = jnp.concatenate([jnp.zeros((R, 1)), fe_s[:, :-1]], axis=-1)
+        trans = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+        weights = alpha * trans  # (R, P*S)
+
+        bg_transmittance = jnp.exp(-jnp.sum(fe_s, axis=-1))  # (R,)
+        fg_rgb_values = jnp.sum(weights[..., None] * rgb_s, axis=-2)
+        normal_values = jnp.sum(weights[..., None] * nrm_s, axis=-2)
+        acc_map = jnp.sum(weights, axis=-1)
+        acc_person = jnp.sum(
+            weights[:, :, None]
+            * (pid_s[:, :, None] == jnp.arange(self.P)[None, None, :]),
+            axis=1,
+        )  # (R, P)
+
+        # ---------------- background (NeRF++ inverse sphere) ----------------
+        # fresh inverse-sphere samples, flipped 1->0 (multiply.py:482-484, 516)
+        frame_latent = params["frame_latent"][inputs.frame_idx]
+        z_bg = jnp.flip(self._bg_z(R, key, train), axis=-1)
+        bg_rgb_values = self._render_background(
+            params, ray_o, ray_d, z_bg, frame_latent
+        )
+
+        rgb_values = fg_rgb_values + bg_transmittance[:, None] * bg_rgb_values
+
+        out: dict[str, Any] = {
+            "rgb_values": rgb_values,
+            "fg_rgb_values": fg_rgb_values
+            + bg_transmittance[:, None] * jnp.ones_like(fg_rgb_values),
+            "normal_values": normal_values,
+            "acc_map": acc_map,
+            "acc_person_list": acc_person,
+            "bg_transmittance": bg_transmittance,
+            "weights": weights,
+            "hit": pout["hit"],
+        }
+
+        if train:
+            out.update(
+                self._training_extras(params, state, inputs, pout, cond_pose, key)
+            )
+        return out
+
+    # -- helpers -------------------------------------------------------
+
+    def _bg_z(self, R: int, key, train: bool) -> jnp.ndarray:
+        from .ray_sampler import uniform_z_vals
+
+        k = jax.random.fold_in(key, 17) if (train and key is not None) else None
+        z = uniform_z_vals(
+            jnp.zeros((R, 1)), jnp.ones((R, 1)), self.sampler_cfg.N_samples_inverse_sphere, k
+        )
+        return z * (1.0 / self.scene_sphere)
+
+    def _render_background(self, params, ray_o, ray_d, z_bg, frame_latent):
+        """NeRF++ inverse-sphere background (multiply.py:513-541, 682-726)."""
+        R, Nb = z_bg.shape
+        bg_dirs = jnp.repeat(ray_d[:, None, :], Nb, axis=1)
+        bg_locs = jnp.repeat(ray_o[:, None, :], Nb, axis=1)
+        bg_pts = depth2pts_outside(bg_locs, bg_dirs, z_bg, self.scene_sphere)
+
+        bg_out = self.bg_implicit.apply(
+            params["bg_implicit"], bg_pts.reshape(-1, 4), frame_latent
+        )
+        bg_sdf, bg_feat = bg_out[:, :1], bg_out[:, 1:]
+        bg_rgb_flat = self.bg_render.apply(
+            params["bg_render"],
+            None,
+            None,
+            bg_dirs.reshape(-1, 3),
+            None,
+            bg_feat,
+            frame_latent=frame_latent,
+        )
+        if bg_rgb_flat.shape[-1] == 4:
+            shadow = bg_rgb_flat[:, 3:]
+            bg_rgb_flat = (1.0 - shadow) * bg_rgb_flat[:, :3]
+        bg_rgb = bg_rgb_flat.reshape(R, Nb, 3)
+
+        # AbsDensity volume rendering in flipped (1->0) order (multiply.py:682-696)
+        bg_density = jnp.abs(bg_sdf).reshape(R, Nb)
+        bg_dists = z_bg[:, :-1] - z_bg[:, 1:]
+        bg_dists = jnp.concatenate([bg_dists, jnp.full((R, 1), 1e10)], axis=-1)
+        fe = bg_dists * bg_density
+        shifted = jnp.concatenate([jnp.zeros((R, 1)), fe[:, :-1]], axis=-1)
+        bg_alpha = 1.0 - jnp.exp(-fe)
+        bg_trans = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+        bg_weights = bg_alpha * bg_trans
+        return jnp.sum(bg_weights[..., None] * bg_rgb, axis=1)
+
+    def _training_extras(self, params, state, inputs, pout, cond_pose, key):
+        """Eikonal samples, in/off-surface tests, SMPL-surface loss
+        (multiply.py:312-390)."""
+        P = self.P
+        R, S = pout["sdf"].shape[1], pout["sdf"].shape[2]
+        ep = inputs.epoch
+
+        # in/off-surface per person via baked canonical SDF grid
+        def person_surf(st, x_c):
+            d = grid_query(st.cano_grid, x_c).reshape(R, S)
+            dmin = jnp.min(d, axis=-1)
+            return dmin > self.threshold, dmin <= 0.0
+
+        off_p, in_p = jax.vmap(person_surf)(state, pout["x_c"])
+        # non-hitting rays: off=True, in=False (multiply.py:551-557)
+        off_p = jnp.logical_or(off_p, ~pout["hit"])
+        in_p = jnp.logical_and(in_p, pout["hit"])
+        index_off_surface = jnp.all(off_p, axis=0)
+        index_in_surface = jnp.any(in_p, axis=0)
+
+        # eikonal: jitter around 512 random canonical verts per person
+        n_eik = 512
+        keys = jax.random.split(
+            key if key is not None else jax.random.PRNGKey(0), 2 * P
+        )
+
+        def person_eik(pp, st, cp, k1, k2):
+            V = st.server.verts_c.shape[0]
+            idx = jax.random.randint(k1, (n_eik,), 0, V)
+            sample = st.server.verts_c[idx] + jax.random.normal(k2, (n_eik, 3)) * 0.01
+
+            def sdf_batch(x):
+                return self._implicit(pp, x, cp)[:, 0]
+
+            _, vjp_fn = jax.vjp(sdf_batch, sample)
+            (g,) = vjp_fn(jnp.ones((n_eik,)))
+            return g
+
+        grad_theta = jax.vmap(person_eik)(
+            params["fg_implicit"], state, cond_pose, keys[:P], keys[P:]
+        )  # (P, n_eik, 3)
+
+        # SMPL-surface anchoring loss (multiply.py:336-362)
+        smpl_surface_loss = jnp.zeros(())
+        if self.smpl_surface_weight > 0:
+            def person_surface_loss(pp, st, cp, tfs, verts, k):
+                idx = jax.random.categorical(
+                    k, st.surface_sample_logits, shape=(R,)
+                )
+                sample = verts[idx]
+                x_c, _ = st.deformer.inverse(sample, tfs, verts)
+                sdf = self._implicit(pp, x_c, cp)[:, 0]
+                viol = sdf > 0.02
+                return jnp.sum(jnp.where(viol, sdf - 0.02, 0.0)) / jnp.maximum(
+                    jnp.sum(viol), 1.0
+                )
+
+            ks = jax.random.split(jax.random.fold_in(key, 23), P)
+            smpl_surface_loss = jnp.sum(
+                jax.vmap(person_surface_loss)(
+                    params["fg_implicit"], state, cond_pose,
+                    pout["tfs"], pout["verts"], ks,
+                )
+            )
+
+        return {
+            "index_off_surface": index_off_surface,
+            "index_in_surface": index_in_surface,
+            "grad_theta": grad_theta.reshape(-1, 3),
+            "smpl_surface_loss": smpl_surface_loss,
+            "epoch": ep,
+        }
+
+
+def depth2pts_outside(
+    ray_o: jnp.ndarray, ray_d: jnp.ndarray, depth: jnp.ndarray, r: float
+) -> jnp.ndarray:
+    """NeRF++ inverse-sphere parameterization (multiply.py:698-726).
+
+    depth is 1/distance in [0, 1/r]; returns (..., 4) points on the unit
+    sphere + inverse depth.
+    """
+    o_dot_d = jnp.sum(ray_d * ray_o, axis=-1)
+    under_sqrt = o_dot_d**2 - (jnp.sum(ray_o**2, axis=-1) - r**2)
+    d_sphere = jnp.sqrt(jnp.maximum(under_sqrt, 0.0)) - o_dot_d
+    p_sphere = ray_o + d_sphere[..., None] * ray_d
+    p_mid = ray_o - o_dot_d[..., None] * ray_d
+    p_mid_norm = jnp.linalg.norm(p_mid, axis=-1)
+
+    rot_axis = jnp.cross(ray_o, p_sphere)
+    rot_axis = rot_axis / jnp.maximum(
+        jnp.linalg.norm(rot_axis, axis=-1, keepdims=True), 1e-12
+    )
+    phi = jnp.arcsin(jnp.clip(p_mid_norm / r, -1.0, 1.0))
+    theta = jnp.arcsin(jnp.clip(p_mid_norm * depth, -1.0, 1.0))
+    rot_angle = (phi - theta)[..., None]
+
+    cosr, sinr = jnp.cos(rot_angle), jnp.sin(rot_angle)
+    p_new = (
+        p_sphere * cosr
+        + jnp.cross(rot_axis, p_sphere) * sinr
+        + rot_axis * jnp.sum(rot_axis * p_sphere, axis=-1, keepdims=True) * (1.0 - cosr)
+    )
+    p_new = p_new / jnp.maximum(jnp.linalg.norm(p_new, axis=-1, keepdims=True), 1e-12)
+    return jnp.concatenate([p_new, depth[..., None]], axis=-1)

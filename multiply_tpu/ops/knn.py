@@ -1,0 +1,46 @@
+"""K-nearest-neighbour search against a small reference point set.
+
+TPU-native replacement for pytorch3d.ops.knn_points as used by the deformer
+(reference: code/lib/model/deformer.py:39). The distance matrix is computed
+with the |x|^2 + |v|^2 - 2 x.v matmul expansion (MXU work), top-K via
+lax.top_k, and queries are chunked with lax.map to bound the (chunk, V)
+intermediate in HBM/VMEM.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def knn(
+    query: jnp.ndarray,  # (N, D)
+    refs: jnp.ndarray,  # (V, D)
+    k: int = 1,
+    chunk_size: int = 8192,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (sq_dists (N, k), indices (N, k)), nearest-first.
+
+    Squared distances (matching pytorch3d's convention) clamped at >= 0.
+    """
+    n = query.shape[0]
+    refs_sq = jnp.sum(refs * refs, axis=-1)  # (V,)
+
+    def chunk_knn(q):  # (C, D)
+        q_sq = jnp.sum(q * q, axis=-1, keepdims=True)  # (C,1)
+        # full f32 MXU passes (bf16 default would corrupt small distances)
+        dots = jnp.matmul(q, refs.T, precision=jax.lax.Precision.HIGHEST)
+        d2 = q_sq + refs_sq[None, :] - 2.0 * dots  # (C,V)
+        neg, idx = jax.lax.top_k(-d2, k)
+        return jnp.maximum(-neg, 0.0), idx
+
+    if n <= chunk_size:
+        return chunk_knn(query)
+
+    pad = (-n) % chunk_size
+    q = jnp.pad(query, ((0, pad), (0, 0)))
+    q = q.reshape(-1, chunk_size, query.shape[-1])
+    d2, idx = jax.lax.map(chunk_knn, q)
+    d2 = d2.reshape(-1, k)[:n]
+    idx = idx.reshape(-1, k)[:n]
+    return d2, idx

@@ -1,0 +1,150 @@
+"""Tests for core ops: positional encoding, density, KNN, skinning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.spatial import cKDTree
+
+from multiply_tpu.ops import (
+    abs_density,
+    embedding_dim,
+    knn,
+    laplace_beta,
+    laplace_density,
+    positional_encoding,
+    query_skinning_weights,
+    skinning,
+)
+from multiply_tpu.ops.skinning import affine_inverse, inv3x3
+
+
+def test_positional_encoding_shape_and_order():
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((7, 3)).astype(np.float32))
+    enc = positional_encoding(x, 6)
+    assert enc.shape == (7, embedding_dim(6, 3))
+    np.testing.assert_allclose(np.asarray(enc[:, :3]), np.asarray(x))
+    # first frequency block: sin(x), cos(x)
+    np.testing.assert_allclose(np.asarray(enc[:, 3:6]), np.sin(np.asarray(x)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(enc[:, 6:9]), np.cos(np.asarray(x)), atol=1e-6)
+    # last block uses 2^(multires-1)
+    np.testing.assert_allclose(
+        np.asarray(enc[:, -3:]), np.cos(32 * np.asarray(x)), atol=1e-5
+    )
+
+
+def test_positional_encoding_identity_when_disabled():
+    x = jnp.ones((4, 3))
+    assert positional_encoding(x, 0) is x
+
+
+def test_laplace_density_cdf_form():
+    beta = laplace_beta(jnp.asarray(0.1))
+    sdf = jnp.asarray([-0.5, -0.01, 0.0, 0.01, 0.5])
+    sigma = np.asarray(laplace_density(sdf, beta))
+    b = float(beta)
+    expected = (1 / b) * np.where(
+        np.asarray(sdf) <= 0,
+        1 - 0.5 * np.exp(np.asarray(sdf) / b),
+        0.5 * np.exp(-np.asarray(sdf) / b),
+    )
+    np.testing.assert_allclose(sigma, expected, rtol=1e-5)
+    assert np.all(np.diff(sigma) < 0)  # monotone decreasing in sdf
+
+
+def test_abs_density():
+    np.testing.assert_allclose(
+        np.asarray(abs_density(jnp.asarray([-2.0, 3.0]))), [2.0, 3.0]
+    )
+
+
+def test_knn_against_scipy():
+    rng = np.random.default_rng(1)
+    refs = rng.standard_normal((500, 3)).astype(np.float32)
+    q = rng.standard_normal((200, 3)).astype(np.float32)
+    d2, idx = knn(jnp.asarray(q), jnp.asarray(refs), k=4)
+    tree = cKDTree(refs)
+    d_ref, idx_ref = tree.query(q, k=4)
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), d_ref, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(idx), idx_ref)
+
+
+def test_knn_chunked_matches_unchunked():
+    rng = np.random.default_rng(2)
+    refs = jnp.asarray(rng.standard_normal((100, 3)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((1000, 3)).astype(np.float32))
+    d2a, idxa = knn(q, refs, k=2, chunk_size=128)
+    d2b, idxb = knn(q, refs, k=2, chunk_size=10_000)
+    np.testing.assert_allclose(np.asarray(d2a), np.asarray(d2b), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idxa), np.asarray(idxb))
+
+
+def test_inv3x3_and_affine_inverse():
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((10, 3, 3)).astype(np.float32) + 2 * np.eye(3)
+    np.testing.assert_allclose(
+        np.asarray(inv3x3(jnp.asarray(m))), np.linalg.inv(m), rtol=1e-3, atol=1e-4
+    )
+    tf = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+    tf[:, :3, :3] = rng.standard_normal((5, 3, 3)) * 0.3 + np.eye(3)
+    tf[:, :3, 3] = rng.standard_normal((5, 3))
+    np.testing.assert_allclose(
+        np.asarray(affine_inverse(jnp.asarray(tf))),
+        np.linalg.inv(tf),
+        rtol=1e-3,
+        atol=1e-4,
+    )
+
+
+def test_skinning_roundtrip():
+    """inverse(skinning(x)) == x when weights are queried in the same space."""
+    rng = np.random.default_rng(4)
+    J = 24
+    # random affine bone transforms near identity
+    tfs = np.tile(np.eye(4, dtype=np.float32), (J, 1, 1))
+    aa = rng.standard_normal((J, 3)) * 0.2
+    from scipy.spatial.transform import Rotation
+
+    tfs[:, :3, :3] = Rotation.from_rotvec(aa).as_matrix()
+    tfs[:, :3, 3] = rng.standard_normal((J, 3)) * 0.1
+
+    x = rng.standard_normal((50, 3)).astype(np.float32)
+    w = rng.random((50, J)).astype(np.float32)
+    w /= w.sum(axis=1, keepdims=True)
+
+    xd = skinning(jnp.asarray(x), jnp.asarray(w), jnp.asarray(tfs))
+    xc = skinning(xd, jnp.asarray(w), jnp.asarray(tfs), inverse=True)
+    np.testing.assert_allclose(np.asarray(xc), x, atol=1e-4)
+
+
+def test_query_skinning_weights_on_vertices():
+    """Querying at the verts themselves returns (K=1) the verts' own weights."""
+    rng = np.random.default_rng(5)
+    verts = rng.standard_normal((100, 3)).astype(np.float32)
+    w = rng.random((100, 24)).astype(np.float32)
+    w /= w.sum(axis=1, keepdims=True)
+    weights, outlier = query_skinning_weights(
+        jnp.asarray(verts[:20]), jnp.asarray(verts), jnp.asarray(w), k=1
+    )
+    np.testing.assert_allclose(np.asarray(weights), w[:20], atol=1e-5)
+    assert not np.any(np.asarray(outlier))
+
+
+def test_query_skinning_weights_outlier_mask():
+    verts = jnp.zeros((10, 3))
+    w = jnp.ones((10, 24)) / 24
+    far = jnp.full((3, 3), 5.0)
+    _, outlier = query_skinning_weights(far, verts, w, k=1)
+    assert np.all(np.asarray(outlier))
+
+
+def test_skinning_weights_are_stop_grad():
+    """Position gradient must flow only through transforms, not KNN weights."""
+    verts = jnp.asarray(np.random.default_rng(6).standard_normal((50, 3)).astype(np.float32))
+    w = jnp.ones((50, 24)) / 24
+
+    def f(p):
+        weights, _ = query_skinning_weights(p, verts, w, k=3)
+        return jnp.sum(weights)
+
+    g = jax.grad(f)(jnp.ones((4, 3)))
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)

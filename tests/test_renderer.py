@@ -1,0 +1,185 @@
+"""End-to-end renderer tests on a tiny synthetic 2-person scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multiply_tpu.body import SMPLServer, canonical_pose_params, synthetic_body_model
+from multiply_tpu.config import Config
+from multiply_tpu.models.renderer import (
+    MultiplyRenderer,
+    RenderInputs,
+    depth2pts_outside,
+)
+
+TINY_CONF = Config(
+    {
+        "dim_frame_encoding": 8,
+        "implicit_network": {
+            "feature_vector_size": 32,
+            "d_in": 3,
+            "d_out": 1,
+            "dims": [32, 32],
+            "init": "geometry",
+            "bias": 0.6,
+            "skip_in": [],
+            "weight_norm": True,
+            "multires": 2,
+            "cond": "smpl",
+            "scene_bounding_sphere": 3.0,
+        },
+        "rendering_network": {
+            "feature_vector_size": 32,
+            "mode": "pose_no_view",
+            "d_in": 14,
+            "d_out": 3,
+            "dims": [32],
+            "weight_norm": True,
+            "multires_view": -1,
+        },
+        "bg_implicit_network": {
+            "feature_vector_size": 32,
+            "d_in": 4,
+            "d_out": 1,
+            "dims": [32, 32],
+            "init": "none",
+            "bias": 0.0,
+            "skip_in": [],
+            "weight_norm": False,
+            "multires": 2,
+            "cond": "frame",
+        },
+        "bg_rendering_network": {
+            "feature_vector_size": 32,
+            "mode": "nerf_frame_encoding",
+            "d_in": 3,
+            "d_out": 3,
+            "dims": [16],
+            "weight_norm": False,
+            "multires_view": 2,
+        },
+        "density": {"params_init": {"beta": 0.1}, "beta_min": 1e-4},
+        "ray_sampler": {
+            "near": 0.0,
+            "N_samples": 8,
+            "N_samples_eval": 16,
+            "N_samples_extra": 4,
+            "eps": 0.1,
+            "beta_iters": 3,
+            "max_total_iters": 2,
+            "N_samples_inverse_sphere": 4,
+            "add_tiny": 1e-6,
+        },
+        "loss": {"smpl_surface_weight": 0.1},
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = synthetic_body_model()
+    servers = [
+        SMPLServer.create(model, betas=np.zeros(10)),
+        SMPLServer.create(model, betas=np.ones(10) * 0.2),
+    ]
+    renderer = MultiplyRenderer(TINY_CONF, num_persons=2, num_frames=4)
+    state = renderer.build_person_state(servers, grid_res=16)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    return renderer, state, params
+
+
+def make_inputs(n_rays=6):
+    # camera at z=-2.5 looking at origin (identity rotation -> +z view)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, -2.5]
+    intr = np.array(
+        [[100.0, 0.0, 32.0], [0.0, 100.0, 32.0], [0.0, 0.0, 1.0]], np.float32
+    )
+    uv = np.stack(
+        [np.linspace(20, 44, n_rays), np.full(n_rays, 32.0)], axis=-1
+    ).astype(np.float32)
+    thetas = np.stack([np.asarray(canonical_pose_params())] * 2)
+    return RenderInputs(
+        uv=jnp.asarray(uv),
+        pose=jnp.asarray(pose),
+        intrinsics=jnp.asarray(intr),
+        scale=jnp.ones((2,)),
+        transl=jnp.asarray([[0.4, 0.0, 0.0], [-0.4, 0.0, 0.0]], jnp.float32),
+        thetas=jnp.asarray(thetas),
+        betas=jnp.stack([jnp.zeros(10), jnp.ones(10) * 0.2]),
+        frame_idx=jnp.asarray(1),
+        epoch=jnp.asarray(100),
+    )
+
+
+def test_depth2pts_outside_on_unit_sphere():
+    o = jnp.asarray([[0.0, 0.0, -2.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    pts = depth2pts_outside(o, d, jnp.asarray([[0.2]]), r=3.0)
+    assert pts.shape == (1, 1, 4)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(pts)[..., :3], axis=-1), 1.0, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(pts)[..., 3], 0.2, atol=1e-6)
+
+
+def test_render_eval_shapes_and_ranges(setup):
+    renderer, state, params = setup
+    inputs = make_inputs(6)
+    out = renderer.render(params, state, inputs, train=False)
+    R = 6
+    assert out["rgb_values"].shape == (R, 3)
+    assert out["normal_values"].shape == (R, 3)
+    assert out["acc_map"].shape == (R,)
+    assert out["acc_person_list"].shape == (R, 2)
+    a = np.asarray(out["acc_map"])
+    assert np.all(a >= -1e-5) and np.all(a <= 1 + 1e-5)
+    assert np.all(np.isfinite(np.asarray(out["rgb_values"])))
+    # acc_person sums to acc_map
+    np.testing.assert_allclose(
+        np.asarray(out["acc_person_list"]).sum(-1), a, atol=1e-5
+    )
+    # transmittance + acc = 1 (within interval-composition tolerance)
+    np.testing.assert_allclose(
+        np.asarray(out["bg_transmittance"]) + a, 1.0, atol=0.05
+    )
+
+
+def test_render_train_outputs(setup):
+    renderer, state, params = setup
+    inputs = make_inputs(5)
+    out = renderer.render(
+        params, state, inputs, train=True, key=jax.random.PRNGKey(1)
+    )
+    assert out["grad_theta"].shape[-1] == 3
+    assert out["index_off_surface"].shape == (5,)
+    assert out["index_in_surface"].shape == (5,)
+    assert np.isfinite(float(out["smpl_surface_loss"]))
+    # eikonal gradients should be ~unit-norm at geometric init
+    norms = np.linalg.norm(np.asarray(out["grad_theta"]), axis=-1)
+    assert 0.3 < np.median(norms) < 3.0
+
+
+def test_render_grads_flow(setup):
+    """Loss gradients reach network params AND smpl pose/translation."""
+    renderer, state, params = setup
+    inputs = make_inputs(4)
+
+    def loss_fn(p, transl):
+        out = renderer.render(
+            p,
+            state,
+            inputs._replace(transl=transl),
+            train=True,
+            key=jax.random.PRNGKey(2),
+        )
+        return jnp.mean(out["rgb_values"] ** 2) + jnp.mean(out["acc_map"])
+
+    (g_params, g_transl) = jax.grad(loss_fn, argnums=(0, 1))(params, inputs.transl)
+    g_imp = jax.tree_util.tree_leaves(g_params["fg_implicit"])
+    assert any(float(jnp.abs(g).max()) > 0 for g in g_imp)
+    assert np.isfinite(np.asarray(g_transl)).all()
+    assert float(jnp.abs(g_transl).max()) > 0
+    g_beta = g_params["beta"]
+    assert np.isfinite(np.asarray(g_beta)).all()
