@@ -24,7 +24,13 @@ class Config(Mapping):
     """
 
     def __init__(self, data: dict | None = None):
-        object.__setattr__(self, "_data", dict(data or {}))
+        # Wrap the dict by reference (no copy): nested item assignment through
+        # a wrapped view must mutate the underlying config.
+        if data is None:
+            data = {}
+        elif not isinstance(data, dict):
+            data = dict(data)
+        object.__setattr__(self, "_data", data)
 
     @staticmethod
     def _wrap(value: Any) -> Any:

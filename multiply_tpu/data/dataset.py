@@ -1,0 +1,333 @@
+"""Hi4D-format sequence dataset: preprocessed images/masks/SMPL params/cameras,
+weighted + edge ray sampling, and the SAM-mask self-refinement pickup loop.
+
+Parity target: code/lib/datasets/Hi4D.py. Data layout on disk (produced by
+the preprocessing pipeline, reference preprocessing_multiple_trace.py:529-620):
+
+    <root>/image/*.png            frames
+    <root>/mask/<p>/*.png         per-person initial masks
+    <root>/poses.npy              (F, P, 72)
+    <root>/normalize_trans.npy    (F, P, 3)
+    <root>/mean_shape.npy         (P, 10)
+    <root>/gender.npy             (P,) strings
+    <root>/cameras_normalize.npz  scale_mat_%d / world_mat_%d
+
+The refinement-loop inputs live in the run directory (written by the trainer's
+epoch-end stage, reference multiply_model.py:741-939 + sam_model.py:57-239):
+
+    <run>/stage_instance_mask/<epoch>/all_person_smpl_mask.npy  (F, P, H, W)
+    <run>/stage_sam_mask/<epoch>/sam_opt_mask.npy               (F, P, H, W) logits
+
+This class is pure numpy/host — batches convert to jnp at the trainer
+boundary. No torch DataLoader: single-process with an optional prefetch
+thread (the reference's num_workers=8 feeds a GPU; one host thread saturates
+a TPU step that runs entirely on-device).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import cv2
+import numpy as np
+
+from ..utils.cameras import load_K_Rt_from_P
+
+
+def bilinear_sample(img: np.ndarray, rows: np.ndarray, cols: np.ndarray) -> np.ndarray:
+    """Bilinear interpolation of (H, W, C) or (H, W) at float (row, col)."""
+    single = img.ndim == 2
+    if single:
+        img = img[..., None]
+    H, W = img.shape[:2]
+    r0 = np.clip(np.floor(rows).astype(np.int32), 0, H - 2)
+    c0 = np.clip(np.floor(cols).astype(np.int32), 0, W - 2)
+    fr = (rows - r0)[:, None]
+    fc = (cols - c0)[:, None]
+    v = (
+        img[r0, c0] * (1 - fr) * (1 - fc)
+        + img[r0, c0 + 1] * (1 - fr) * fc
+        + img[r0 + 1, c0] * fr * (1 - fc)
+        + img[r0 + 1, c0 + 1] * fr * fc
+    )
+    return v[..., 0] if single else v
+
+
+def weighted_sampling(
+    data: dict, img_size, num_sample: int, rng: np.random.Generator
+) -> tuple[dict, np.ndarray]:
+    """90% of rays in the union-mask bbox, 10% uniform; bilinear subpixel
+    values (reference Hi4D.py:56-87)."""
+    mask = data["object_mask"]
+    where = np.asarray(np.where(mask))
+    bbox_min = where.min(axis=1)
+    bbox_max = where.max(axis=1)
+
+    n_bbox = int(num_sample * 0.9)
+    s_bbox = rng.random((n_bbox, 2)) * (bbox_max - bbox_min) + bbox_min
+    n_unif = num_sample - n_bbox
+    s_unif = rng.random((n_unif, 2)) * (img_size[0] - 1, img_size[1] - 1)
+
+    outside = (
+        np.where(
+            (s_unif[:, 0] < bbox_min[0])
+            | (s_unif[:, 0] > bbox_max[0])
+            | (s_unif[:, 1] < bbox_min[1])
+            | (s_unif[:, 1] > bbox_max[1])
+        )[0]
+        + n_bbox
+    )
+
+    idx = np.concatenate([s_bbox, s_unif], axis=0)  # (N, 2) = (row, col)
+    out = {
+        k: bilinear_sample(v, idx[:, 0], idx[:, 1]) for k, v in data.items()
+    }
+    return out, outside
+
+
+def edge_sampling(
+    data: dict, num_sample: int, rng: np.random.Generator,
+    ratio_mask: float = 0.5, ratio_edge: float = 0.4,
+) -> dict:
+    """50% mask / 40% edge / 10% random integer-pixel sampling
+    (reference Hi4D.py:27-53), used for uncertain-pose frames."""
+    n_mask = int(num_sample * ratio_mask)
+    n_edge = int(num_sample * ratio_edge)
+    n_rand = num_sample - n_mask - n_edge
+    mask = data["person_mask"].reshape(-1)
+    edge = data["edge_mask"].reshape(-1)
+
+    mask_loc = np.where(mask)[0]
+    edge_loc = np.where(edge)[0]
+    if len(mask_loc) == 0:
+        mask_loc = np.arange(len(mask))
+    if len(edge_loc) == 0:
+        edge_loc = mask_loc
+
+    indices = np.concatenate(
+        [
+            mask_loc[rng.integers(0, len(mask_loc), n_mask)],
+            edge_loc[rng.integers(0, len(edge_loc), n_edge)],
+            rng.integers(0, len(mask), n_rand),
+        ]
+    )
+    return {
+        k: v.reshape(len(mask), -1)[indices]
+        for k, v in data.items()
+        if k not in ("person_mask", "edge_mask")
+    }
+
+
+class Hi4DSequence:
+    """A preprocessed multi-person sequence + refinement-loop state."""
+
+    def __init__(
+        self,
+        root: str,
+        start_frame: int = 0,
+        end_frame: int | None = None,
+        num_sample: int = 512,
+        using_sam: bool = True,
+        ratio_uncertain: float = 0.5,
+        run_dir: str = ".",
+        edge_sampling_on: bool = False,
+    ):
+        self.root = root
+        self.run_dir = run_dir
+        self.num_sample = num_sample
+        self.using_sam = using_sam
+        self.ratio_uncertain = ratio_uncertain
+        self.edge_sampling_on = edge_sampling_on
+
+        img_paths = sorted(glob.glob(os.path.join(root, "image", "*.png")))
+        if end_frame is None:
+            end_frame = len(img_paths)
+        self.training_indices = list(range(start_frame, end_frame))
+        self.img_paths = [img_paths[i] for i in self.training_indices]
+        self.n_images = len(self.img_paths)
+        first = cv2.imread(self.img_paths[0])
+        self.img_size = first.shape[:2]  # (H, W)
+
+        mask_folders = sorted(
+            d for d in glob.glob(os.path.join(root, "mask", "*")) if os.path.isdir(d)
+        )
+        if mask_folders:
+            self.mask_paths = [
+                [sorted(glob.glob(f"{folder}/*.png"))[i] for i in self.training_indices]
+                for folder in mask_folders
+            ]
+        else:
+            # single-person flat layout (reference threedpw.py: one mask dir,
+            # smpl_params without a person axis)
+            flat = sorted(glob.glob(os.path.join(root, "mask", "*.png")))
+            self.mask_paths = [[flat[i] for i in self.training_indices]]
+
+        self.shape = np.atleast_2d(np.load(os.path.join(root, "mean_shape.npy")))
+        self.num_person = self.shape.shape[0]
+        poses = np.load(os.path.join(root, "poses.npy"))[self.training_indices]
+        trans = np.load(os.path.join(root, "normalize_trans.npy"))[
+            self.training_indices
+        ]
+        if poses.ndim == 2:  # (F, 72) single person -> (F, 1, 72)
+            poses = poses[:, None, :]
+            trans = trans[:, None, :]
+        self.poses = poses
+        self.trans = trans
+        gender_path = os.path.join(root, "gender.npy")
+        self.genders = (
+            [str(g) for g in np.load(gender_path)]
+            if os.path.exists(gender_path)
+            else ["neutral"] * self.num_person
+        )
+
+        cam = np.load(os.path.join(root, "cameras_normalize.npz"))
+        self.P, self.C, self.intrinsics, self.pose = [], [], [], []
+        self.scale = 1.0 / cam[f"scale_mat_{self.training_indices[0]}"][0, 0]
+        for i in self.training_indices:
+            P = cam[f"world_mat_{i}"].astype(np.float32) @ cam[
+                f"scale_mat_{i}"
+            ].astype(np.float32)
+            self.P.append(P)
+            self.C.append(-np.linalg.solve(P[:3, :3], P[:3, 3]))
+            intr, pose = load_K_Rt_from_P(P[:3, :4])
+            self.intrinsics.append(intr[:3, :3])
+            self.pose.append(pose)
+
+        edge_dir = os.path.join(root, "edge")
+        self.edge_paths = (
+            sorted(glob.glob(f"{edge_dir}/*.png")) if os.path.isdir(edge_dir) else None
+        )
+
+        # SAM refinement pickup state (reference Hi4D.py:151-158, 186-229)
+        self._sam_path = ""
+        self._sam_masks: np.ndarray | None = None  # (F, H, W, P) logits
+        self.smpl_sam_iou = np.ones(self.n_images)
+        self.uncertain_threshold = 0.0
+
+    def __len__(self) -> int:
+        return self.n_images
+
+    # -- refinement-loop pickup -----------------------------------------
+
+    def _refresh_sam(self) -> None:
+        stage_dirs = sorted(glob.glob(os.path.join(self.run_dir, "stage_sam_mask", "*")))
+        if not stage_dirs:
+            return
+        path = os.path.join(stage_dirs[-1], "sam_opt_mask.npy")
+        if path == self._sam_path:
+            return
+        smpl_dirs = sorted(
+            glob.glob(os.path.join(self.run_dir, "stage_instance_mask", "*"))
+        )
+        try:
+            sam = np.load(path)  # (F, P, H, W) logits
+            if smpl_dirs:
+                smpl_mask = (
+                    np.load(os.path.join(smpl_dirs[-1], "all_person_smpl_mask.npy"))
+                    > 0.8
+                )
+                sam_bin = sam > 0.0
+                inter = np.logical_and(sam_bin, smpl_mask).sum(axis=(2, 3))
+                union = np.logical_or(sam_bin, smpl_mask).sum(axis=(2, 3))
+                iou = inter / np.maximum(union, 1)
+                self.smpl_sam_iou = iou.mean(axis=-1)
+                s = np.sort(self.smpl_sam_iou)
+                self.uncertain_threshold = s[int(len(s) * self.ratio_uncertain)]
+        except (OSError, ValueError):
+            # writer race: keep the previous mask (reference Hi4D.py:197-202)
+            return
+        self._sam_masks = sam.transpose(0, 2, 3, 1)
+        self._sam_path = path
+
+    # -- items -----------------------------------------------------------
+
+    def load_frame(self, idx: int) -> dict:
+        """Full-resolution frame data (host arrays)."""
+        img = cv2.imread(self.img_paths[idx])[:, :, ::-1].astype(np.float32) / 255.0
+        masks = []
+        for person_paths in self.mask_paths:
+            m = cv2.cvtColor(cv2.imread(person_paths[idx]), cv2.COLOR_BGR2GRAY) > 0
+            masks.append(m)
+        union = np.stack(masks, -1).sum(-1)
+        H, W = self.img_size
+        uv = np.stack(
+            np.meshgrid(np.arange(W), np.arange(H), indexing="xy"), axis=-1
+        ).astype(np.float32)
+        return {"img": img, "mask_union": union, "uv": uv, "masks": masks}
+
+    def get_train_item(self, idx: int, rng: np.random.Generator) -> dict:
+        if self.using_sam:
+            self._refresh_sam()
+        frame = self.load_frame(idx)
+        sam = self._sam_masks[idx] if self._sam_masks is not None else None
+        is_certain = bool(self.smpl_sam_iou[idx] >= self.uncertain_threshold)
+
+        data = {"rgb": frame["img"], "uv": frame["uv"], "object_mask": frame["mask_union"]}
+        if sam is not None:
+            data["sam_mask"] = sam
+        samples, index_outside = weighted_sampling(
+            data, self.img_size, self.num_sample, rng
+        )
+
+        out = {
+            "uv": samples["uv"].astype(np.float32),
+            "rgb": samples["rgb"].astype(np.float32),
+            "index_outside": index_outside,
+            "intrinsics": self.intrinsics[idx],
+            "pose": self.pose[idx],
+            "P": self.P[idx],
+            "C": self.C[idx],
+            "smpl_pose": self.poses[idx].astype(np.float32),  # (P, 72)
+            "smpl_trans": self.trans[idx].astype(np.float32),
+            "smpl_shape": self.shape.astype(np.float32),
+            "smpl_scale": np.full(self.num_person, self.scale, np.float32),
+            "idx": idx,
+            "is_certain": is_certain,
+        }
+        if sam is not None:
+            out["sam_mask"] = samples["sam_mask"].astype(np.float32)
+
+        if self.edge_sampling_on or not is_certain:
+            edge = None
+            if self.edge_paths is not None:
+                e = cv2.cvtColor(cv2.imread(self.edge_paths[idx]), cv2.COLOR_BGR2GRAY) > 0
+            else:
+                # derive an edge band from the mask union when no edge maps exist
+                m = (frame["mask_union"] > 0).astype(np.uint8)
+                e = (cv2.dilate(m, np.ones((5, 5), np.uint8)) - cv2.erode(m, np.ones((5, 5), np.uint8))) > 0
+            edata = {
+                "rgb": frame["img"],
+                "uv": frame["uv"],
+                "person_mask": frame["mask_union"] > 0,
+                "edge_mask": np.logical_and(frame["mask_union"] > 0, e) if e is not None else frame["mask_union"] > 0,
+            }
+            if sam is not None:
+                edata["sam_mask"] = sam
+            es = edge_sampling(edata, self.num_sample, rng)
+            out["edge_uv"] = es["uv"].astype(np.float32)
+            out["edge_rgb"] = es["rgb"].astype(np.float32)
+            if sam is not None:
+                out["edge_sam_mask"] = es["sam_mask"].astype(np.float32)
+        return out
+
+    def get_eval_item(self, idx: int) -> dict:
+        """Full-image item for validation/test rendering."""
+        if self.using_sam:
+            self._refresh_sam()
+        frame = self.load_frame(idx)
+        H, W = self.img_size
+        return {
+            "uv": frame["uv"].reshape(-1, 2),
+            "rgb": frame["img"].reshape(-1, 3),
+            "intrinsics": self.intrinsics[idx],
+            "pose": self.pose[idx],
+            "P": self.P[idx],
+            "smpl_pose": self.poses[idx].astype(np.float32),
+            "smpl_trans": self.trans[idx].astype(np.float32),
+            "smpl_shape": self.shape.astype(np.float32),
+            "smpl_scale": np.full(self.num_person, self.scale, np.float32),
+            "idx": idx,
+            "img_size": (H, W),
+            "masks": frame["masks"],
+        }

@@ -47,6 +47,24 @@ def make_scene(
     width: int = 64,
     seed: int = 0,
 ) -> SyntheticScene:
+    # GT generation is host-side bookkeeping: pin it to the CPU backend so
+    # demo runs on TPU don't waste minutes shipping eager ray-mesh ops
+    # through the accelerator (results are numpy either way)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            return _make_scene_impl(num_frames, num_persons, height, width, seed)
+    except RuntimeError:  # no cpu backend registered (unusual)
+        return _make_scene_impl(num_frames, num_persons, height, width, seed)
+
+
+def _make_scene_impl(
+    num_frames: int,
+    num_persons: int,
+    height: int,
+    width: int,
+    seed: int,
+) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     model = synthetic_body_model()
     betas = rng.standard_normal((num_persons, 10)).astype(np.float32) * 0.3

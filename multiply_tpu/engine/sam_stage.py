@@ -1,0 +1,98 @@
+"""SAM refinement stage: turn rendered instance masks + projected joints into
+refined per-person mask logits via promptable segmentation.
+
+Parity target: code/lib/model/sam_model.py (SAMServer.get_sam_mask) — per
+frame and person, build point/box/mask-prior prompts from the
+stage_instance_mask artifacts and run three chained SAM predictions; stack
+logits to stage_sam_mask/<epoch>/sam_opt_mask.npy with shape (F, P, H, W).
+
+Two segmenter backends:
+  * `SamJaxSegmenter` — SAM ported to JAX/flax (multiply_tpu/models/sam.py),
+    image embeddings computed once per frame on the TPU, three chained
+    decoder calls per person. Requires the official SAM checkpoint.
+  * `PriorSegmenter` — checkpoint-free fallback: returns the geometric
+    instance-mask prior as logits (identity refinement). Keeps the
+    progressive loop and all artifacts/dataflow intact so the rest of the
+    system is exercisable without downloaded weights.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .instance_masks import build_sam_prompts
+
+
+class PriorSegmenter:
+    """Checkpoint-free stand-in: logits = +-8 from the rendered instance mask."""
+
+    def __init__(self, image_paths_or_array=None):
+        pass
+
+    def __call__(self, epoch: int, run_dir: str = ".") -> np.ndarray:
+        stage = os.path.join(run_dir, "stage_instance_mask", f"{epoch:05d}")
+        masks = np.load(os.path.join(stage, "all_person_smpl_mask.npy"))  # (F,P,H,W)
+        logits = np.where(masks, 8.0, -8.0).astype(np.float32)
+        out_dir = os.path.join(run_dir, "stage_sam_mask", f"{epoch:05d}")
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(os.path.join(out_dir, "sam_opt_mask.npy"), logits)
+        return logits
+
+
+class SamSegmenter:
+    """Promptable-segmentation stage driven by a predict() backend.
+
+    `predictor` contract (duck-typed; satisfied by models/sam.py SamPredictor
+    and trivially mockable in tests):
+        set_image(rgb_uint8 HxWx3)
+        predict(point_coords, point_labels, box, mask_input_logits) ->
+            (mask_logits (H, W) float)
+    """
+
+    def __init__(self, predictor, images: list[np.ndarray], seed: int = 42):
+        self.predictor = predictor
+        self.images = images  # per-frame uint8 RGB arrays (or callables)
+        self.seed = seed
+
+    def __call__(self, epoch: int, run_dir: str = ".") -> np.ndarray:
+        rng = np.random.default_rng(self.seed)
+        stage = os.path.join(run_dir, "stage_instance_mask", f"{epoch:05d}")
+        masks = np.load(os.path.join(stage, "all_person_smpl_mask.npy"))  # (F,P,H,W)
+        kps = np.load(os.path.join(stage, "2d_keypoint.npy"))  # (F,P,27,2)
+
+        out_frames = []
+        for f, img in enumerate(self.images):
+            img_arr = img() if callable(img) else img
+            self.predictor.set_image(img_arr)
+            prompts = build_sam_prompts(masks[f], kps[f], rng)
+            person_logits = []
+            for pr in prompts:
+                logits = pr["mask_prior_logits"]
+                for _ in range(3):  # three chained refinements (sam_model.py:192-217)
+                    logits = self.predictor.predict(
+                        point_coords=pr["points"],
+                        point_labels=pr["labels"],
+                        box=pr["box"],
+                        mask_input_logits=logits,
+                    )
+                person_logits.append(self._to_full_res(logits, masks.shape[-2:]))
+            out_frames.append(np.stack(person_logits, axis=0))
+
+        out = np.stack(out_frames, axis=0).astype(np.float32)
+        out_dir = os.path.join(run_dir, "stage_sam_mask", f"{epoch:05d}")
+        os.makedirs(out_dir, exist_ok=True)
+        np.save(os.path.join(out_dir, "sam_opt_mask.npy"), out)
+        return out
+
+    @staticmethod
+    def _to_full_res(logits: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+        if logits.shape == tuple(hw):
+            return logits
+        import cv2
+
+        H, W = hw
+        side = max(H, W)
+        up = cv2.resize(logits, (side, side))
+        return up[:H, :W] if H > W else up[:H, side - W :]

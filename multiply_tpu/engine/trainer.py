@@ -1,0 +1,512 @@
+"""Per-scene optimization orchestrator: epoch loop, mode scheduling, the
+epoch-end self-refinement stages, pose-only depth optimization, checkpoints.
+
+Parity target: code/train.py + code/multiply_model.py —
+  * per-frame mode selection (joint / pose-only / delayed-pose,
+    multiply_model.py:137-160);
+  * canonical-mesh refresh every 20 epochs (multiply_model.py:489-508) — here
+    it re-bakes the per-person canonical SDF grids used by the in/off-surface
+    tests (the jitted step takes them as traced args, no recompile);
+  * instance-mask + SAM refinement every 50 epochs (multiply_model.py:509-513)
+    writing stage_instance_mask/ + stage_sam_mask/ artifacts the dataset
+    re-reads (the filesystem feedback loop);
+  * opt_depth at configured epochs (multiply_model.py:230-484): per-frame
+    inner Adam loop on translations (or full pose) against depth-order +
+    interpenetration + render losses;
+  * orbax checkpoints every 100 epochs + last (train.py:16-22), resumable.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..body.params import BodyParamTable
+from ..models.loss import LossConfig, total_loss
+from ..models.renderer import MultiplyRenderer, RenderInputs
+from ..ops.mesh_ops import sdf_grid
+from ..utils.cameras import get_camera_params
+from .instance_masks import run_instance_mask_stage
+from .mesh_export import generate_mesh, save_ply
+from .optim import adam_init, adam_update
+from .pose_losses import (
+    depth_loss_schedule,
+    interpenetration_loss,
+    sparse_depth_order_loss,
+)
+from .train import MODE_DELAYED_POSE, MODE_JOINT, MODE_POSE_ONLY, Batch, TrainStep
+
+
+def _pad_mesh(verts: np.ndarray, faces: np.ndarray, bucket: int = 8192):
+    """Pad mesh arrays to bucketed sizes so jitted pose-loss steps don't
+    recompile for every extraction (degenerate face 0,0,0 padding)."""
+    fv = ((len(faces) + bucket - 1) // bucket) * bucket
+    vv = ((len(verts) + bucket - 1) // bucket) * bucket
+    # pad verts by repeating a real vertex (phantom origin points would leak
+    # into interpenetration sampling); pad faces degenerate (0,0,0)
+    verts_p = np.full((max(vv, bucket), 3), verts[-1] if len(verts) else 0.0, np.float32)
+    verts_p[: len(verts)] = verts
+    faces_p = np.zeros((max(fv, bucket), 3), np.int64)
+    faces_p[: len(faces)] = faces
+    return verts_p, faces_p
+
+
+class Trainer:
+    def __init__(
+        self,
+        conf,
+        seq,  # Hi4DSequence-like (or SyntheticSequence adapter)
+        servers: list,  # per-person SMPLServer
+        run_dir: str = ".",
+        segmenter: Callable | None = None,  # SAM stage callable or None
+        seed: int = 42,
+    ):
+        self.conf = conf
+        self.seq = seq
+        self.run_dir = run_dir
+        self.segmenter = segmenter
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        model_conf = conf.model
+        self.num_person = seq.num_person
+        self.num_frames = len(seq)
+        self.renderer = MultiplyRenderer(
+            model_conf, num_persons=self.num_person, num_frames=self.num_frames
+        )
+        self.grid_res = int(model_conf.get("cano_grid_res", 64))
+        self.mesh_res_up = int(model_conf.get("cano_mesh_res_up", 2))
+        self.person_state = self.renderer.build_person_state(
+            servers, grid_res=self.grid_res
+        )
+        self.servers = servers
+
+        self.loss_cfg = LossConfig.from_config(model_conf.loss)
+        self.builder = TrainStep(
+            self.renderer,
+            self.person_state,
+            self.loss_cfg,
+            learning_rate=model_conf.learning_rate,
+            sched_milestones=tuple(model_conf.sched_milestones),
+            sched_factor=model_conf.sched_factor,
+        )
+        self._step = jax.jit(self.builder.step)
+
+        # schedules (multiply_model.py:62-78)
+        self.pose_correction_epoch = model_conf.get("pose_correction_epoch", 500)
+        self.depth_end = bool(model_conf.get("depth_end", False))
+        self.pose_start_epoch = model_conf.get("pose_start_epoch", 200)
+        self.pose_end_epoch = model_conf.get("pose_end_epoch", 1000)
+        self.pose_opt_interval = model_conf.get("pose_opt_interval", 10)
+        self.pose_opt_epoch = model_conf.get("pose_opt_epoch", 1)
+        self.depth_pose = bool(model_conf.get("depth_pose", False))
+        self.depth_epoch = list(model_conf.get("depth_epoch", []))
+        self.depth_cond_zero = bool(model_conf.get("depth_cond_zero", False))
+        self.it_per_loop = model_conf.get("it_per_loop", 100)
+        self.using_sam = bool(conf.dataset.train.get("using_SAM", True))
+        self.depth_order_weight = model_conf.loss.get("depth_order_weight", 0.005)
+        self.interpenetration_weight = model_conf.loss.get(
+            "interpenetration_loss_weight", 0.0
+        )
+
+        # init body tables from preprocessed poses (multiply_model.py:76-93)
+        tables = [
+            BodyParamTable.create(
+                self.num_frames,
+                betas=seq.shape[p],
+                global_orient=seq.poses[:, p, :3],
+                transl=seq.trans[:, p],
+                body_pose=seq.poses[:, p, 3:],
+            )
+            for p in range(self.num_person)
+        ]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *tables)
+        self.ts = self.builder.init_state(jax.random.PRNGKey(seed), stacked)
+        self.epoch = 0
+
+        if model_conf.get("smpl_init", False):
+            self._apply_smpl_init(model_conf)
+
+    def _apply_smpl_init(self, model_conf) -> None:
+        """Start the SDF fields as the canonical body instead of a sphere
+        (reference loads a downloaded init at multiply.py:102-108; we pretrain
+        and cache our own, one per gender)."""
+        from .smpl_init import get_or_pretrain
+
+        steps = int(model_conf.get("smpl_init_steps", 2000))
+        cache_dir = str(model_conf.get("smpl_init_cache_dir", "outputs"))
+        genders = getattr(self.seq, "genders", ["neutral"] * self.num_person)
+        per_gender: dict = {}
+        new_params = []
+        for p in range(self.num_person):
+            g = genders[p]
+            if g not in per_gender:
+                cache = os.path.join(cache_dir, f"smpl_init_{g}.npz")
+                per_gender[g] = get_or_pretrain(
+                    self.renderer.fg_implicit, self.servers[p], cache, steps=steps
+                )
+            new_params.append(per_gender[g])
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *new_params)
+        net = dict(self.ts.params["net"])
+        net["fg_implicit"] = stacked
+        self.ts = self.ts._replace(
+            params={"net": net, "body": self.ts.params["body"]}
+        )
+
+    # ------------------------------------------------------------------
+    # mode selection per frame (multiply_model.py:137-160)
+    # ------------------------------------------------------------------
+
+    def _select_mode(self, is_certain: bool, has_sam: bool) -> int:
+        ep = self.epoch
+        pose_epoch = ep % self.pose_opt_interval
+        is_pose_depth = (
+            has_sam
+            and ep >= self.pose_start_epoch
+            and pose_epoch < self.pose_opt_epoch
+            and ep < self.pose_end_epoch
+            and not self.depth_end
+        )
+        if self.using_sam:
+            if is_pose_depth:
+                return MODE_POSE_ONLY
+            if ep < self.pose_correction_epoch and not is_certain:
+                return MODE_DELAYED_POSE
+        return MODE_JOINT
+
+    # ------------------------------------------------------------------
+    # canonical SDF queries for mesh extraction
+    # ------------------------------------------------------------------
+
+    def canonical_sdf_fn(self, person_id: int, cond_pose=None):
+        """Host callable (N,3)->(N,) evaluating one person's canonical SDF."""
+        if cond_pose is None:
+            cond_pose = jnp.zeros((69,))
+        params_p = jax.tree.map(lambda x: x[person_id], self.ts.params["net"]["fg_implicit"])
+        if not hasattr(self, "_sdf_eval"):
+            # one shared jitted eval: params/cond are traced args, so person
+            # switches and epoch refreshes reuse the compilation
+            self._sdf_eval = jax.jit(
+                lambda pp, cp, x: self.renderer.fg_implicit.apply(pp, x, cp)[:, 0]
+            )
+        return lambda pts: np.asarray(
+            self._sdf_eval(params_p, cond_pose, jnp.asarray(pts, jnp.float32))
+        )
+
+    def extract_canonical_meshes(self, res_up: int | None = None, cond_pose_per_person=None):
+        res_up = self.mesh_res_up if res_up is None else res_up
+        meshes = []
+        for p in range(self.num_person):
+            cp = None if cond_pose_per_person is None else cond_pose_per_person[p]
+            verts, faces = generate_mesh(
+                self.canonical_sdf_fn(p, cp),
+                np.asarray(self.servers[p].verts_c),
+                res_up=res_up,
+            )
+            meshes.append((verts, faces))
+        return meshes
+
+    def refresh_canonical_state(self) -> None:
+        """Re-bake in/off-surface SDF grids from the learned canonical meshes
+        (multiply_model.py:489-508 equivalent)."""
+        grids = []
+        for p in range(self.num_person):
+            try:
+                verts, faces = generate_mesh(
+                    self.canonical_sdf_fn(p),
+                    np.asarray(self.servers[p].verts_c),
+                    res_up=self.mesh_res_up,
+                )
+                if len(verts) < 16 or len(faces) < 16:
+                    raise ValueError("degenerate mesh")
+                grids.append(
+                    sdf_grid(jnp.asarray(verts), jnp.asarray(faces), res=self.grid_res)
+                )
+            except Exception as e:  # keep previous state (reference try/except)
+                print(f"canonical mesh refresh failed for person {p}: {e}")
+                grids.append(
+                    jax.tree.map(lambda x: x[p], self.person_state.cano_grid)
+                )
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
+        self.person_state = self.person_state._replace(cano_grid=stacked)
+
+    # ------------------------------------------------------------------
+    # deformed meshes (for instance masks / depth losses)
+    # ------------------------------------------------------------------
+
+    def deformed_meshes_for_frame(self, frame_idx: int, res_up: int | None = None, unscale: bool = True):
+        """Extract canonical meshes and deform to a frame's pose; returns
+        ([(verts, faces)], [joints]) in un-normalized (1/scale) space."""
+        res_up = self.mesh_res_up if res_up is None else res_up
+        body = self.ts.params["body"]
+        meshes, joints = [], []
+        for p in range(self.num_person):
+            table = jax.tree.map(lambda x: x[p], body)
+            thetas = jnp.concatenate(
+                [table.global_orient[frame_idx], table.body_pose[frame_idx]]
+            )
+            scale = float(self.seq.scale) if hasattr(self.seq, "scale") else 1.0
+            out = self.servers[p](
+                jnp.asarray(scale), table.transl[frame_idx], thetas, table.betas[0]
+            )
+            cond = np.asarray(table.body_pose[frame_idx]) / np.pi
+            verts_c, faces = generate_mesh(
+                self.canonical_sdf_fn(p, jnp.asarray(cond)),
+                np.asarray(self.servers[p].verts_c),
+                res_up=res_up,
+            )
+            deformer = jax.tree.map(lambda x: x[p], self.person_state.deformer)
+            verts_d = np.asarray(deformer.forward(jnp.asarray(verts_c), out["smpl_tfs"]))
+            if unscale:
+                verts_d = verts_d / scale
+            meshes.append((verts_d, faces))
+            j = np.asarray(out["smpl_all_jnts"])
+            if unscale:
+                j = j / scale
+            joints.append(j)
+        return meshes, joints
+
+    # ------------------------------------------------------------------
+    # epoch-end stages
+    # ------------------------------------------------------------------
+
+    def instance_mask_stage(self) -> None:
+        frames = []
+        for i in range(self.num_frames):
+            item = self.seq.get_eval_item(i)
+            if self.epoch <= 190:
+                # SMPL meshes as prompts early on (multiply_model.py:825-850)
+                meshes, joints = [], []
+                body = self.ts.params["body"]
+                for p in range(self.num_person):
+                    table = jax.tree.map(lambda x: x[p], body)
+                    thetas = jnp.concatenate(
+                        [table.global_orient[i], table.body_pose[i]]
+                    )
+                    out = self.servers[p](
+                        jnp.asarray(float(self.seq.scale)),
+                        table.transl[i],
+                        thetas,
+                        table.betas[0],
+                    )
+                    scale = float(self.seq.scale)
+                    meshes.append(
+                        (
+                            np.asarray(out["smpl_verts"]) / scale,
+                            np.asarray(self.servers[p].model.faces),
+                        )
+                    )
+                    joints.append(np.asarray(out["smpl_all_jnts"]) / scale)
+            else:
+                meshes, joints = self.deformed_meshes_for_frame(i)
+            frames.append(
+                {
+                    "P": item["P"] @ np.diag([float(self.seq.scale)] * 3 + [1.0]),
+                    "img_size": item["img_size"],
+                    "meshes": meshes,
+                    "joints": joints,
+                }
+            )
+        run_instance_mask_stage(self.epoch, frames, out_dir=self.run_dir)
+
+    def sam_stage(self) -> None:
+        if self.segmenter is not None:
+            self.segmenter(self.epoch, run_dir=self.run_dir)
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+
+    def make_batch(self, item: dict, mode: int) -> Batch:
+        return Batch(
+            uv=jnp.asarray(item["edge_uv"] if mode == MODE_DELAYED_POSE and "edge_uv" in item else item["uv"]),
+            rgb=jnp.asarray(item["edge_rgb"] if mode == MODE_DELAYED_POSE and "edge_rgb" in item else item["rgb"]),
+            pose=jnp.asarray(item["pose"]),
+            intrinsics=jnp.asarray(item["intrinsics"]),
+            frame_idx=jnp.asarray(item["idx"]),
+            smpl_scale=jnp.asarray(item["smpl_scale"]),
+            sam_mask=jnp.asarray(
+                item["edge_sam_mask"]
+                if mode == MODE_DELAYED_POSE and "edge_sam_mask" in item
+                else item.get("sam_mask", np.zeros((len(item["uv"]), self.num_person), np.float32))
+            ),
+            mode=jnp.asarray(mode),
+        )
+
+    def train_epoch(self) -> dict:
+        order = self.rng.permutation(self.num_frames)
+        logs = None
+        self.ts = self.ts._replace(epoch=jnp.asarray(self.epoch, jnp.int32))
+        for i in order:
+            item = self.seq.get_train_item(int(i), self.rng)
+            has_sam = "sam_mask" in item
+            mode = self._select_mode(item.get("is_certain", True), has_sam)
+            batch = self.make_batch(item, mode)
+            self.key, k = jax.random.split(self.key)
+            self.ts, logs = self._step(self.ts, batch, k, self.person_state)
+        return {k: float(v) for k, v in (logs or {}).items()}
+
+    def fit(self, max_epochs: int, log_every: int = 10, ckpt_every: int = 100,
+            val_every: int = 50, ckpt_dir: str | None = None) -> None:
+        for _ in range(max_epochs - self.epoch):
+            t0 = time.time()
+            logs = self.train_epoch()
+            if self.epoch % log_every == 0:
+                msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items() if k != "lr")
+                print(f"epoch {self.epoch} ({time.time()-t0:.1f}s) {msg}")
+
+            if self.epoch != 0 and self.epoch % 20 == 0:
+                self.refresh_canonical_state()
+            if self.epoch % val_every == 0 and self.using_sam:
+                self.instance_mask_stage()
+                self.sam_stage()
+            if self.epoch in self.depth_epoch and self.depth_end:
+                self.opt_depth()
+            if ckpt_dir and self.epoch % ckpt_every == 0:
+                self.save_checkpoint(ckpt_dir)
+            self.epoch += 1
+        if ckpt_dir:
+            self.save_checkpoint(ckpt_dir, tag="last")
+
+    # ------------------------------------------------------------------
+    # opt_depth: per-frame translation refinement (multiply_model.py:230-484)
+    # ------------------------------------------------------------------
+
+    def opt_depth(self) -> None:
+        print(f"opt_depth at epoch {self.epoch}")
+        if self.seq._sam_masks is None:
+            print("no SAM masks yet; skipping opt_depth")
+            return
+        for frame_idx in range(self.num_frames):
+            self._opt_depth_frame(frame_idx)
+
+    def _opt_depth_frame(self, frame_idx: int) -> None:
+        item = self.seq.get_eval_item(frame_idx)
+        H, W = item["img_size"]
+        sam = self.seq._sam_masks[frame_idx]  # (H, W, P) logits
+        sam_probs_full = 1.0 / (1.0 + np.exp(-sam))
+
+        # canonical meshes extracted once per frame (reference: once per frame)
+        body = self.ts.params["body"]
+        meshes = []
+        for p in range(self.num_person):
+            table = jax.tree.map(lambda x: x[p], body)
+            cond = np.zeros(69, np.float32) if self.depth_cond_zero else (
+                np.asarray(table.body_pose[frame_idx]) / np.pi
+            )
+            verts_c, faces = generate_mesh(
+                self.canonical_sdf_fn(p, jnp.asarray(cond)),
+                np.asarray(self.servers[p].verts_c),
+                res_up=self.mesh_res_up,
+            )
+            meshes.append(_pad_mesh(verts_c, faces))
+
+        scale = float(self.seq.scale)
+        pose_cam = jnp.asarray(item["pose"])
+        intr = jnp.asarray(item["intrinsics"])
+
+        # sample valid pixels once (SAM-confident region)
+        sam_sum = sam_probs_full.sum(-1)
+        valid = (sam_sum >= 0.7) & (sam_sum <= 1.01)
+        vy, vx = np.nonzero(valid)
+        n_valid = len(vx)
+        if n_valid == 0:
+            return
+        M = min(4096, n_valid)
+        sel = self.rng.choice(n_valid, M, replace=False)
+        uv = np.stack([vx[sel], vy[sel]], -1).astype(np.float32)
+        sam_probs = jnp.asarray(sam_probs_full[vy[sel], vx[sel]])
+        scale_to_full = n_valid / M
+
+        deformers = [
+            jax.tree.map(lambda x: x[p], self.person_state.deformer)
+            for p in range(self.num_person)
+        ]
+        servers = self.servers
+        P_count = self.num_person
+        ep = self.epoch
+        d_sched = float(depth_loss_schedule(1.0, ep))
+
+        verts_c_list = [jnp.asarray(m[0]) for m in meshes]
+        faces_list = [jnp.asarray(m[1]) for m in meshes]
+
+        def loss_fn(body_params, key):
+            ray_d, cam_loc = get_camera_params(jnp.asarray(uv), pose_cam, intr)
+            ray_o = jnp.broadcast_to(cam_loc, ray_d.shape)
+            verts_d = []
+            for p in range(P_count):
+                table = jax.tree.map(lambda x: x[p], body_params)
+                thetas = jnp.concatenate(
+                    [table.global_orient[frame_idx], table.body_pose[frame_idx]]
+                )
+                out = servers[p](
+                    jnp.asarray(scale), table.transl[frame_idx], thetas, table.betas[0]
+                )
+                vd = deformers[p].forward(verts_c_list[p], out["smpl_tfs"])
+                verts_d.append(vd / scale)
+            # rays are in normalized space; meshes were unscaled like the
+            # reference's renderer (1/scale) — transform rays equivalently
+            d_loss, _ = sparse_depth_order_loss(
+                ray_o / scale, ray_d, verts_d, faces_list, sam_probs,
+                scale_to_full=scale_to_full,
+            )
+            i_loss = interpenetration_loss(verts_d, faces_list, key)
+            return (
+                self.depth_order_weight * d_sched * d_loss
+                + self.interpenetration_weight * d_sched * i_loss
+            )
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        opt_state = adam_init(body)
+        lr = jnp.asarray(self.conf.model.learning_rate)
+        if self.depth_pose:
+            active = jax.tree.map(lambda p: jnp.asarray(True), body)
+        else:
+            # translations only (multiply_model.py:256-260)
+            active = BodyParamTable(
+                betas=jnp.asarray(False),
+                global_orient=jnp.asarray(False),
+                transl=jnp.asarray(True),
+                body_pose=jnp.asarray(False),
+            )
+
+        params = body
+        for it in range(self.it_per_loop):
+            self.key, k = jax.random.split(self.key)
+            val, grads = grad_fn(params, k)
+            params, opt_state = adam_update(
+                grads, opt_state, params, lr, None, active
+            )
+            if it == 0 or it == self.it_per_loop - 1:
+                print(f"  opt_depth frame {frame_idx} it {it}: {float(val):.4f}")
+        self.ts = self.ts._replace(
+            params={"net": self.ts.params["net"], "body": params}
+        )
+
+    # ------------------------------------------------------------------
+    # checkpointing (orbax)
+    # ------------------------------------------------------------------
+
+    def save_checkpoint(self, ckpt_dir: str, tag: str | None = None) -> None:
+        import orbax.checkpoint as ocp
+
+        name = tag or f"epoch_{self.epoch:05d}"
+        path = os.path.abspath(os.path.join(ckpt_dir, name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"ts": self.ts, "epoch": self.epoch}, force=True)
+        ckptr.wait_until_finished()
+
+    def load_checkpoint(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(path), {"ts": self.ts, "epoch": self.epoch}
+        )
+        self.ts = restored["ts"]
+        self.epoch = int(restored["epoch"])

@@ -76,6 +76,8 @@ class MultiplyRenderer:
         self.scene_sphere = conf.implicit_network.get("scene_bounding_sphere", 3.0)
         self.threshold = 0.05  # off-surface threshold (multiply.py:88)
         self.smpl_surface_weight = conf.loss.get("smpl_surface_weight", 0)
+        # shared shape net + per-person identity latents (multiply.py:30-51)
+        self.use_person_encoder = bool(conf.get("use_person_encoder", False))
 
         self.fg_implicit = ImplicitNet.from_config(conf.implicit_network)
         self.fg_render = RenderingNet.from_config(conf.rendering_network)
@@ -98,16 +100,23 @@ class MultiplyRenderer:
             self.fg_implicit.cond
         ]
         x = jnp.zeros((2, d_in))
+        if self.use_person_encoder:
+            cond_dim = 69 + 64  # pose + person identity latent ('smpl_id')
         cond = jnp.zeros((cond_dim,)) if cond_dim else None
 
-        # per-person nets: vmapped init over person seeds
-        fg_imp = jax.vmap(lambda k: self.fg_implicit.init(k, x, cond))(
-            jax.random.split(kf, self.P)
-        )
         feat = jnp.zeros((2, self.fg_implicit.feature_vector_size))
+        if self.use_person_encoder:
+            # one shared shape network; separate per-person render nets
+            # (multiply.py:41-45 for rendering mode 'pose_no_view')
+            fg_imp = self.fg_implicit.init(kf, x, cond)
+        else:
+            fg_imp = jax.vmap(lambda k: self.fg_implicit.init(k, x, cond))(
+                jax.random.split(kf, self.P)
+            )
+        render_id = jnp.zeros((64,)) if self.fg_render.mode == "pose_id_no_view" else None
         fg_ren = jax.vmap(
             lambda k: self.fg_render.init(
-                k, x, x, -x, jnp.zeros((69,)), feat
+                k, x, x, -x, jnp.zeros((69,)), feat, id_latent=render_id
             )
         )(jax.random.split(kr, self.P))
 
@@ -125,7 +134,7 @@ class MultiplyRenderer:
         frame_latent = (
             jax.random.normal(kl, (self.num_frames, self.dim_frame)) * 0.01
         )
-        return {
+        params = {
             "fg_implicit": fg_imp,
             "fg_render": fg_ren,
             "bg_implicit": bg_imp,
@@ -133,6 +142,11 @@ class MultiplyRenderer:
             "frame_latent": frame_latent,
             "beta": jnp.asarray([self.beta_init]),
         }
+        if self.use_person_encoder:
+            params["person_latent"] = (
+                jax.random.normal(jax.random.fold_in(kl, 1), (self.P, 64)) * 0.1
+            )
+        return params
 
     def build_person_state(
         self,
@@ -283,21 +297,37 @@ class MultiplyRenderer:
             zero_cond = jnp.logical_or(ep < 20, ep % 20 == 0)
             cond_pose = jnp.where(zero_cond, 0.0, cond_pose)
 
+        # implicit-net conditioning: pose, or pose + person identity latent
+        if self.use_person_encoder:
+            cond_vec = jnp.concatenate([cond_pose, params["person_latent"]], axis=-1)
+            id_latent = params["person_latent"]
+        else:
+            cond_vec = cond_pose
+            id_latent = jnp.zeros((self.P, 64))
+
         keys = jax.random.split(key, self.P) if key is not None else None
 
-        def person_fn(pp, pr, st, sc, tr, th, be, cp, k):
+        def person_fn(pp, pr, st, sc, tr, th, be, cv, cp, il, k):
             out = self._person_rays(
-                pp, st, sc, tr, th, be, cp, ray_o, ray_d, beta0, train, k
+                pp, st, sc, tr, th, be, cv, ray_o, ray_d, beta0, train, k
             )
-            rgb = self.fg_render.apply(
-                pr, out["x_c"], out["normals"], -jnp.repeat(
-                    ray_d, out["z_vals"].shape[-1], axis=0
-                ), cp, out["feat"],
-            )
+            view = -jnp.repeat(ray_d, out["z_vals"].shape[-1], axis=0)
+            if self.fg_render.mode == "pose_id_no_view":
+                rgb = self.fg_render.apply(
+                    pr, out["x_c"], out["normals"], view, cp, out["feat"],
+                    id_latent=il,
+                )
+            else:
+                rgb = self.fg_render.apply(
+                    pr, out["x_c"], out["normals"], view, cp, out["feat"],
+                )
             out["rgb"] = rgb
             return out
 
-        pout = jax.vmap(person_fn)(
+        fg_axis = None if self.use_person_encoder else 0
+        pout = jax.vmap(
+            person_fn, in_axes=(fg_axis, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+        )(
             params["fg_implicit"],
             params["fg_render"],
             state,
@@ -305,7 +335,9 @@ class MultiplyRenderer:
             inputs.transl,
             inputs.thetas,
             inputs.betas,
+            cond_vec,
             cond_pose,
+            id_latent,
             keys if keys is not None else jnp.zeros((self.P, 2), jnp.uint32),
         )
 
@@ -379,7 +411,7 @@ class MultiplyRenderer:
 
         if train:
             out.update(
-                self._training_extras(params, state, inputs, pout, cond_pose, key)
+                self._training_extras(params, state, inputs, pout, cond_vec, key)
             )
         return out
 
@@ -432,7 +464,8 @@ class MultiplyRenderer:
 
     def _training_extras(self, params, state, inputs, pout, cond_pose, key):
         """Eikonal samples, in/off-surface tests, SMPL-surface loss
-        (multiply.py:312-390)."""
+        (multiply.py:312-390). `cond_pose` here is the full implicit-net
+        conditioning vector (pose, or pose+identity when sharing nets)."""
         P = self.P
         R, S = pout["sdf"].shape[1], pout["sdf"].shape[2]
         ep = inputs.epoch
@@ -468,7 +501,8 @@ class MultiplyRenderer:
             (g,) = vjp_fn(jnp.ones((n_eik,)))
             return g
 
-        grad_theta = jax.vmap(person_eik)(
+        fg_axis = None if self.use_person_encoder else 0
+        grad_theta = jax.vmap(person_eik, in_axes=(fg_axis, 0, 0, 0, 0))(
             params["fg_implicit"], state, cond_pose, keys[:P], keys[P:]
         )  # (P, n_eik, 3)
 
@@ -489,7 +523,7 @@ class MultiplyRenderer:
 
             ks = jax.random.split(jax.random.fold_in(key, 23), P)
             smpl_surface_loss = jnp.sum(
-                jax.vmap(person_surface_loss)(
+                jax.vmap(person_surface_loss, in_axes=(fg_axis, 0, 0, 0, 0, 0))(
                     params["fg_implicit"], state, cond_pose,
                     pout["tfs"], pout["verts"], ks,
                 )

@@ -31,6 +31,10 @@ def knn(
         # full f32 MXU passes (bf16 default would corrupt small distances)
         dots = jnp.matmul(q, refs.T, precision=jax.lax.Precision.HIGHEST)
         d2 = q_sq + refs_sq[None, :] - 2.0 * dots  # (C,V)
+        if k == 1:  # train-time path: argmin beats a top_k sort
+            idx = jnp.argmin(d2, axis=-1, keepdims=True)
+            best = jnp.take_along_axis(d2, idx, axis=-1)
+            return jnp.maximum(best, 0.0), idx
         neg, idx = jax.lax.top_k(-d2, k)
         return jnp.maximum(-neg, 0.0), idx
 

@@ -61,9 +61,16 @@ def query_skinning_weights(
 
     Weights are stop_gradient'ed, mirroring weights.detach() in the reference
     (deformer.py:47): position gradients flow through the bone transforms, not
-    through the KNN blend.
+    through the KNN blend — which also makes the non-differentiable Pallas
+    NN kernel a drop-in for the K=1 training path.
     """
-    d2, idx = knn(pts, verts, k=k)
+    from .knn_pallas import knn_auto
+
+    # detach at the kernel boundary: the weights are stop-grad regardless
+    # (and the Pallas kernel defines no autodiff rule)
+    d2, idx = knn_auto(
+        jax.lax.stop_gradient(pts), jax.lax.stop_gradient(verts), k=k
+    )
     d2 = jnp.minimum(d2, DIST_CLAMP)
     conf = jnp.exp(-d2)
     conf = conf / jnp.sum(conf, axis=-1, keepdims=True)  # (N,k)

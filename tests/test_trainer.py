@@ -1,0 +1,138 @@
+"""Orchestrator tests: full Trainer loop with refinement stages, mesh
+extraction, opt_depth, checkpoint/resume — on a tiny synthetic scene."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from multiply_tpu.config import load_config
+from multiply_tpu.data.synthetic import make_scene
+from multiply_tpu.data.synthetic_sequence import SyntheticSequence
+from multiply_tpu.engine.sam_stage import PriorSegmenter
+from multiply_tpu.engine.trainer import Trainer
+
+CONF_PATH = os.path.join(os.path.dirname(__file__), "..", "confs", "synthetic_base.yaml")
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("run"))
+    conf = load_config(
+        CONF_PATH,
+        overrides={
+            "model": {
+                "implicit_network": {"dims": [32, 32], "skip_in": [], "multires": 2,
+                                     "feature_vector_size": 32},
+                "rendering_network": {"dims": [32], "feature_vector_size": 32},
+                "bg_implicit_network": {"dims": [32, 32], "multires": 2,
+                                        "feature_vector_size": 32},
+                "bg_rendering_network": {"dims": [16], "feature_vector_size": 32},
+                "ray_sampler": {"N_samples": 8, "N_samples_eval": 16,
+                                "N_samples_extra": 4, "beta_iters": 3,
+                                "max_total_iters": 2, "N_samples_inverse_sphere": 4},
+                "dim_frame_encoding": 8,
+                "depth_epoch": [2],
+                "it_per_loop": 3,
+                "num_training_frames": 2,
+                "cano_grid_res": 12,
+                "cano_mesh_res_up": 1,
+            },
+            "dataset": {"train": {"num_sample": 48, "end_frame": 2,
+                                  "height": 28, "width": 36}},
+        },
+    )
+    scene = make_scene(num_frames=2, num_persons=2, height=28, width=36)
+    seq = SyntheticSequence(scene, num_sample=48, run_dir=run_dir)
+    from train import build_servers
+
+    servers = build_servers(conf, seq)
+    tr = Trainer(conf, seq, servers, run_dir=run_dir, segmenter=PriorSegmenter())
+    return tr, run_dir
+
+
+def test_epoch_runs_and_stages_write_artifacts(trainer):
+    tr, run_dir = trainer
+    logs = tr.train_epoch()
+    assert np.isfinite(logs["loss"])
+
+    tr.instance_mask_stage()
+    tr.sam_stage()
+    masks = np.load(
+        glob.glob(os.path.join(run_dir, "stage_instance_mask", "*", "all_person_smpl_mask.npy"))[-1]
+    )
+    assert masks.shape[:2] == (2, 2)  # (F, P, ...)
+    assert masks.dtype == bool
+    assert masks.any(), "instance masks are empty — rasterization failed"
+    kps = np.load(
+        glob.glob(os.path.join(run_dir, "stage_instance_mask", "*", "2d_keypoint.npy"))[-1]
+    )
+    assert kps.shape == (2, 2, 27, 2)
+    sam = np.load(
+        glob.glob(os.path.join(run_dir, "stage_sam_mask", "*", "sam_opt_mask.npy"))[-1]
+    )
+    assert sam.shape == masks.shape
+
+    # dataset picks up the refreshed SAM masks + certainty ranking
+    tr.seq._refresh_sam()
+    assert tr.seq._sam_masks is not None
+    assert tr.seq._sam_masks.shape == (2, 28, 36, 2)
+    assert np.isfinite(tr.seq.smpl_sam_iou).all()
+
+
+def test_canonical_refresh_and_mesh_extraction(trainer):
+    tr, run_dir = trainer
+    meshes = tr.extract_canonical_meshes()
+    assert len(meshes) == 2
+    v, f = meshes[0]
+    assert len(v) > 50 and len(f) > 50, "canonical mesh degenerate at init"
+    # geometric init => mesh approximates a sphere of radius ~bias
+    r = np.linalg.norm(v - v.mean(0), axis=-1)
+    assert 0.2 < np.median(r) < 1.5
+
+    old_grid = np.asarray(tr.person_state.cano_grid["grid"])
+    tr.refresh_canonical_state()
+    new_grid = np.asarray(tr.person_state.cano_grid["grid"])
+    assert new_grid.shape[0] == 2
+    assert not np.allclose(old_grid, new_grid)
+
+
+def test_opt_depth_moves_translations(trainer):
+    tr, run_dir = trainer
+    if tr.seq._sam_masks is None:
+        tr.instance_mask_stage()
+        tr.sam_stage()
+        tr.seq._refresh_sam()
+    before = np.asarray(tr.ts.params["body"].transl).copy()
+    tr._opt_depth_frame(0)
+    after = np.asarray(tr.ts.params["body"].transl)
+    # translations of frame 0 may move; everything else must be identical
+    assert before.shape == after.shape
+    assert np.isfinite(after).all()
+    np.testing.assert_array_equal(before[:, 1:], after[:, 1:])
+
+
+def test_checkpoint_roundtrip(trainer, tmp_path):
+    tr, run_dir = trainer
+    ckpt_dir = str(tmp_path / "ckpts")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tr.epoch = 7
+    tr.save_checkpoint(ckpt_dir)
+    saved = np.asarray(tr.ts.params["body"].transl).copy()
+
+    # perturb then restore
+    import jax.numpy as jnp
+    import jax
+
+    tr.ts = tr.ts._replace(
+        params={
+            "net": tr.ts.params["net"],
+            "body": jax.tree.map(lambda x: x + 1.0, tr.ts.params["body"]),
+        }
+    )
+    tr.load_checkpoint(os.path.join(ckpt_dir, "epoch_00007"))
+    assert tr.epoch == 7
+    np.testing.assert_allclose(
+        np.asarray(tr.ts.params["body"].transl), saved, atol=1e-6
+    )
