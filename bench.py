@@ -32,15 +32,18 @@ def main():
     step = builder.jitted_step()
     key = jax.random.PRNGKey(0)
 
-    # warmup/compile
+    # warmup/compile (float() forces a device->host sync — block_until_ready
+    # alone can return early through the remote-execution relay)
     ts, logs = step(ts, batch, key)
-    jax.block_until_ready(logs["loss"])
+    _ = float(logs["loss"])
 
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(STEPS):
         ts, logs = step(ts, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(logs["loss"])
+    acc += float(logs["loss"])
     dt = (time.perf_counter() - t0) / STEPS
+    assert np.isfinite(acc)
 
     rays_per_sec = RAYS / dt
     print(

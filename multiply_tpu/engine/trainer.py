@@ -184,18 +184,25 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def canonical_sdf_fn(self, person_id: int, cond_pose=None):
-        """Host callable (N,3)->(N,) evaluating one person's canonical SDF."""
+        """Host callable (N,3)->(N,) evaluating one person's canonical SDF
+        (incl. per-person offset head / beta encoding when configured,
+        matching the reference's query_oc)."""
         if cond_pose is None:
-            cond_pose = jnp.zeros((69,))
-        params_p = jax.tree.map(lambda x: x[person_id], self.ts.params["net"]["fg_implicit"])
+            cond_dim = 69 + 64 if self.renderer.use_person_encoder else 69
+            cond_pose = jnp.zeros((cond_dim,))
+        elif self.renderer.use_person_encoder:
+            latent = self.ts.params["net"]["person_latent"][person_id]
+            cond_pose = jnp.concatenate([jnp.asarray(cond_pose), latent])
+        bundle = self.renderer.implicit_bundle(self.ts.params["net"], person_id)
+        betas = self.ts.params["body"].betas[person_id, 0]
         if not hasattr(self, "_sdf_eval"):
             # one shared jitted eval: params/cond are traced args, so person
             # switches and epoch refreshes reuse the compilation
             self._sdf_eval = jax.jit(
-                lambda pp, cp, x: self.renderer.fg_implicit.apply(pp, x, cp)[:, 0]
+                lambda b, cp, be, x: self.renderer._implicit(b, x, cp, betas=be)[:, 0]
             )
         return lambda pts: np.asarray(
-            self._sdf_eval(params_p, cond_pose, jnp.asarray(pts, jnp.float32))
+            self._sdf_eval(bundle, cond_pose, betas, jnp.asarray(pts, jnp.float32))
         )
 
     def extract_canonical_meshes(self, res_up: int | None = None, cond_pose_per_person=None):
@@ -352,19 +359,33 @@ class Trainer:
         return {k: float(v) for k, v in (logs or {}).items()}
 
     def fit(self, max_epochs: int, log_every: int = 10, ckpt_every: int = 100,
-            val_every: int = 50, ckpt_dir: str | None = None) -> None:
+            val_every: int = 50, ckpt_dir: str | None = None,
+            render_val: bool = True) -> None:
+        from ..utils.logging import MetricsLogger
+
+        metrics = MetricsLogger(self.run_dir)
         for _ in range(max_epochs - self.epoch):
             t0 = time.time()
             logs = self.train_epoch()
+            logs["epoch_seconds"] = time.time() - t0
+            metrics.log(logs, epoch=self.epoch)
             if self.epoch % log_every == 0:
-                msg = " ".join(f"{k}={v:.4f}" for k, v in logs.items() if k != "lr")
-                print(f"epoch {self.epoch} ({time.time()-t0:.1f}s) {msg}")
+                msg = " ".join(
+                    f"{k}={v:.4f}" for k, v in logs.items() if k not in ("lr",)
+                )
+                print(f"epoch {self.epoch} ({logs['epoch_seconds']:.1f}s) {msg}")
 
             if self.epoch != 0 and self.epoch % 20 == 0:
                 self.refresh_canonical_state()
             if self.epoch % val_every == 0 and self.using_sam:
                 self.instance_mask_stage()
                 self.sam_stage()
+            if self.epoch % val_every == 0 and render_val:
+                try:
+                    psnr = self.validate()
+                    metrics.log({"val_psnr": psnr}, epoch=self.epoch)
+                except Exception as e:  # validation must never kill training
+                    print(f"validation render failed: {e}")
             if self.epoch in self.depth_epoch and self.depth_end:
                 self.opt_depth()
             if ckpt_dir and self.epoch % ckpt_every == 0:
@@ -372,6 +393,42 @@ class Trainer:
             self.epoch += 1
         if ckpt_dir:
             self.save_checkpoint(ckpt_dir, tag="last")
+        metrics.close()
+
+    def validate(self, frame_idx: int | None = None) -> float:
+        """Render one validation frame side-by-side with GT (the reference's
+        every-50-epoch validation image, multiply_model.py:982-1122).
+        Returns PSNR."""
+        import imageio
+
+        from .evaluator import Evaluator
+
+        if frame_idx is None:
+            frame_idx = int(self.rng.integers(0, self.num_frames))
+        if not hasattr(self, "_evaluator"):
+            self._evaluator = Evaluator(
+                self.renderer, self.person_state, self.servers,
+                pixel_per_batch=int(
+                    self.conf.dataset.get("valid", {}).get("pixel_per_batch", 512)
+                ),
+            )
+        item = self.seq.get_eval_item(frame_idx)
+        merged = self._evaluator.render_image(
+            self.ts.params["net"], self.ts.params["body"], item,
+            epoch=self.epoch, person_state=self.person_state,
+        )
+        H, W = item["img_size"]
+        gt = np.asarray(item["rgb"], np.float32).reshape(H, W, 3)
+        side = np.concatenate([gt, merged["rgb_image"]], axis=1)
+        out_dir = os.path.join(self.run_dir, "val")
+        os.makedirs(out_dir, exist_ok=True)
+        imageio.imwrite(
+            os.path.join(out_dir, f"epoch_{self.epoch:05d}.png"),
+            (np.clip(side, 0, 1) * 255).astype(np.uint8),
+        )
+        psnr = merged.get("psnr", 0.0)
+        print(f"validation epoch {self.epoch}: PSNR {psnr:.2f} dB")
+        return psnr
 
     # ------------------------------------------------------------------
     # opt_depth: per-frame translation refinement (multiply_model.py:230-484)

@@ -125,8 +125,15 @@ class ImplicitNet(nn.Module):
     weight_norm: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cond_vec: jnp.ndarray | None = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond_vec: jnp.ndarray | None = None,
+        layer0_extra: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
         """x: (N, d_in); cond_vec: (cond_dim,) or (N, cond_dim) or None.
+        layer0_extra: optional (N, dims[1]) activation added after layer 0
+        (the beta-encoding hook, networks.py:169-177).
 
         Returns (N, 1 + feature_vector_size) — [sdf, features].
         """
@@ -169,6 +176,8 @@ class ImplicitNet(nn.Module):
                 bias_init=b_init,
                 name=f"lin{l}",
             )(h)
+            if l == 0 and layer0_extra is not None:
+                h = h + layer0_extra
             if l < num_layers - 2:
                 h = softplus100(h)
         return h
@@ -187,6 +196,53 @@ class ImplicitNet(nn.Module):
             bias=opt.get("bias", 0.6),
             weight_norm=opt.get("weight_norm", True),
         )
+
+
+class OffsetHead(nn.Module):
+    """Per-person refinement head over a shared ImplicitNet (networks.py:86-106,
+    190-206): takes [shared output, conditioning, embedded input] and emits a
+    delta-SDF plus (optionally) replacement features. Initialized near zero so
+    the shared field dominates at start."""
+
+    feature_vector_size: int = 256
+    width: int = 256
+    no_head_feature: bool = False
+
+    @nn.compact
+    def __call__(self, shared_out: jnp.ndarray, cond: jnp.ndarray, inp: jnp.ndarray) -> jnp.ndarray:
+        n = shared_out.shape[0]
+        cond = jnp.broadcast_to(cond, (n, cond.shape[-1]))
+        h = jnp.concatenate([shared_out, cond, inp], axis=-1)
+        for i in range(4):
+            h = WNDense(self.width, name=f"head{i}")(h)
+            h = softplus100(h)
+        init_val = 1e-6
+        h = WNDense(
+            self.feature_vector_size + 1,
+            kernel_init=nn.initializers.uniform(scale=init_val),
+            name="last",
+        )(h)
+        sdf = shared_out[:, 0:1] + h[:, 0:1]
+        feat = shared_out[:, 1:] if self.no_head_feature else h[:, 1:]
+        return jnp.concatenate([sdf, feat], axis=-1)
+
+
+class BetaEncoder(nn.Module):
+    """Per-person shape-code injection at layer 0 (networks.py:107-116,
+    169-177): a near-zero-initialized Linear(10 -> width) added to the first
+    layer's activations."""
+
+    width: int = 256
+
+    @nn.compact
+    def __call__(self, betas: jnp.ndarray, n: int) -> jnp.ndarray:
+        init_val = 1e-5
+        h = WNDense(
+            self.width,
+            kernel_init=nn.initializers.uniform(scale=init_val),
+            name="beta_layer",
+        )(jnp.broadcast_to(betas, (n, betas.shape[-1])))
+        return h
 
 
 class RenderingNet(nn.Module):

@@ -35,7 +35,7 @@ from ..ops.density import laplace_beta, laplace_density
 from ..ops.mesh_ops import grid_query, ray_aabb_hit, sdf_grid
 from ..utils.cameras import get_camera_params
 from .deformer import SMPLDeformer
-from .networks import ImplicitNet, RenderingNet
+from .networks import BetaEncoder, ImplicitNet, OffsetHead, RenderingNet
 from .ray_sampler import SamplerConfig, error_bound_sample
 
 OUTLIER_SDF = 4.0  # large SDF for KNN outliers at eval (multiply.py:143)
@@ -78,8 +78,17 @@ class MultiplyRenderer:
         self.smpl_surface_weight = conf.loss.get("smpl_surface_weight", 0)
         # shared shape net + per-person identity latents (multiply.py:30-51)
         self.use_person_encoder = bool(conf.get("use_person_encoder", False))
+        # per-person refinement head / shape-code injection over a shared net
+        # (networks.py offset_head / beta_encoding options)
+        self.offset_head_on = bool(conf.implicit_network.get("offset_head", False))
+        self.beta_encoding_on = bool(conf.implicit_network.get("beta_encoding", False))
 
         self.fg_implicit = ImplicitNet.from_config(conf.implicit_network)
+        self.offset_head = OffsetHead(
+            feature_vector_size=conf.implicit_network.feature_vector_size,
+            no_head_feature=bool(conf.implicit_network.get("no_head_feature", False)),
+        )
+        self.beta_encoder = BetaEncoder(width=conf.implicit_network.dims[0])
         self.fg_render = RenderingNet.from_config(conf.rendering_network)
         self.bg_implicit = ImplicitNet.from_config(conf.bg_implicit_network)
         self.bg_render = RenderingNet.from_config(conf.bg_rendering_network)
@@ -146,7 +155,47 @@ class MultiplyRenderer:
             params["person_latent"] = (
                 jax.random.normal(jax.random.fold_in(kl, 1), (self.P, 64)) * 0.1
             )
+        if self.offset_head_on:
+            out0 = jnp.zeros((2, 1 + self.fg_implicit.feature_vector_size))
+            from ..ops.embedders import embedding_dim
+
+            inp0 = jnp.zeros((2, embedding_dim(self.fg_implicit.multires, d_in)))
+            params["offset_head"] = jax.vmap(
+                lambda k: self.offset_head.init(k, out0, cond, inp0)
+            )(jax.random.split(jax.random.fold_in(kf, 2), self.P))
+        if self.beta_encoding_on:
+            params["beta_encoder"] = jax.vmap(
+                lambda k: self.beta_encoder.init(k, jnp.zeros((10,)), 2)
+            )(jax.random.split(jax.random.fold_in(kf, 3), self.P))
         return params
+
+    def implicit_bundle(self, params: dict, person_id: int | None = None) -> dict:
+        """Per-person implicit-field parameter bundle (shared net + optional
+        per-person head/encoder). person_id=None returns the stacked bundle
+        for vmapping; an int selects one person (host-side callers)."""
+        sel = (
+            (lambda t, ax0: t)
+            if person_id is None
+            else (lambda t, ax0: jax.tree.map(lambda x: x[person_id], t) if ax0 else t)
+        )
+        bundle = {
+            "imp": sel(params["fg_implicit"], not self.use_person_encoder)
+            if person_id is not None
+            else params["fg_implicit"]
+        }
+        if self.offset_head_on:
+            bundle["head"] = sel(params["offset_head"], True)
+        if self.beta_encoding_on:
+            bundle["benc"] = sel(params["beta_encoder"], True)
+        return bundle
+
+    def bundle_axes(self) -> dict:
+        axes = {"imp": None if self.use_person_encoder else 0}
+        if self.offset_head_on:
+            axes["head"] = 0
+        if self.beta_encoding_on:
+            axes["benc"] = 0
+        return axes
 
     def build_person_state(
         self,
@@ -178,17 +227,33 @@ class MultiplyRenderer:
     # pieces
     # ------------------------------------------------------------------
 
-    def _implicit(self, person_params, x, cond_pose):
-        """Foreground SDF+feature for one person: (N,3) -> (N, 1+F)."""
-        return self.fg_implicit.apply(person_params, x, cond_pose)
+    def _implicit(self, bundle, x, cond_vec, betas=None):
+        """Foreground SDF+feature for one person: (N,3) -> (N, 1+F).
+
+        `bundle`: {"imp": shared/per-person ImplicitNet params,
+        optional "head": OffsetHead params, "benc": BetaEncoder params}."""
+        if not isinstance(bundle, dict):
+            bundle = {"imp": bundle}
+        layer0_extra = None
+        if "benc" in bundle and betas is not None:
+            layer0_extra = self.beta_encoder.apply(bundle["benc"], betas, x.shape[0])
+        out = self.fg_implicit.apply(
+            bundle["imp"], x, cond_vec, layer0_extra=layer0_extra
+        )
+        if "head" in bundle:
+            from ..ops.embedders import positional_encoding
+
+            inp = positional_encoding(x, self.fg_implicit.multires)
+            out = self.offset_head.apply(bundle["head"], out, cond_vec, inp)
+        return out
 
     def _sdf_with_deformer(
-        self, person_params, deformer: SMPLDeformer, tfs, posed_verts, cond_pose,
-        x, train: bool,
+        self, bundle, deformer: SMPLDeformer, tfs, posed_verts, cond_vec,
+        x, train: bool, betas=None,
     ):
         """multiply.py:137-151 — inverse-warp then canonical SDF."""
         x_c, outlier = deformer.inverse(x, tfs, posed_verts)
-        out = self._implicit(person_params, x_c, cond_pose)
+        out = self._implicit(bundle, x_c, cond_vec, betas=betas)
         sdf = out[:, 0]
         if not train:
             sdf = jnp.where(outlier, OUTLIER_SDF, sdf)
@@ -196,13 +261,13 @@ class MultiplyRenderer:
 
     def _person_rays(
         self,
-        person_params,
+        bundle,
         state: PersonState,
         scale,
         transl,
         thetas,
         betas,
-        cond_pose,
+        cond_vec,
         ray_o,
         ray_d,
         beta0,
@@ -224,7 +289,7 @@ class MultiplyRenderer:
         hit = ray_aabb_hit(ray_o, ray_d, center - half, center + half)  # (R,)
 
         sdf_only = lambda pts: self._sdf_with_deformer(
-            person_params, state.deformer, tfs, verts, cond_pose, pts, train
+            bundle, state.deformer, tfs, verts, cond_vec, pts, train, betas=betas
         )[0]
         samp = error_bound_sample(
             self.sampler_cfg,
@@ -240,12 +305,12 @@ class MultiplyRenderer:
 
         pts = (ray_o[:, None, :] + z_vals[..., None] * ray_d[:, None, :]).reshape(-1, 3)
         sdf, x_c, feat = self._sdf_with_deformer(
-            person_params, state.deformer, tfs, verts, cond_pose, pts, train
+            bundle, state.deformer, tfs, verts, cond_vec, pts, train, betas=betas
         )
 
         # normals: nabla_c sdf via one batched VJP; J = blended bone rotation
         def sdf_batch(xc):
-            return self._implicit(person_params, xc, cond_pose)[:, 0]
+            return self._implicit(bundle, xc, cond_vec, betas=betas)[:, 0]
 
         _, vjp_fn = jax.vjp(sdf_batch, x_c)
         (sdf_grad_c,) = vjp_fn(jnp.ones_like(sdf))
@@ -324,11 +389,11 @@ class MultiplyRenderer:
             out["rgb"] = rgb
             return out
 
-        fg_axis = None if self.use_person_encoder else 0
+        bundle = self.implicit_bundle(params)
         pout = jax.vmap(
-            person_fn, in_axes=(fg_axis, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+            person_fn, in_axes=(self.bundle_axes(), 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
         )(
-            params["fg_implicit"],
+            bundle,
             params["fg_render"],
             state,
             inputs.scale,
@@ -489,33 +554,33 @@ class MultiplyRenderer:
             key if key is not None else jax.random.PRNGKey(0), 2 * P
         )
 
-        def person_eik(pp, st, cp, k1, k2):
+        def person_eik(pp, st, cp, be, k1, k2):
             V = st.server.verts_c.shape[0]
             idx = jax.random.randint(k1, (n_eik,), 0, V)
             sample = st.server.verts_c[idx] + jax.random.normal(k2, (n_eik, 3)) * 0.01
 
             def sdf_batch(x):
-                return self._implicit(pp, x, cp)[:, 0]
+                return self._implicit(pp, x, cp, betas=be)[:, 0]
 
             _, vjp_fn = jax.vjp(sdf_batch, sample)
             (g,) = vjp_fn(jnp.ones((n_eik,)))
             return g
 
-        fg_axis = None if self.use_person_encoder else 0
-        grad_theta = jax.vmap(person_eik, in_axes=(fg_axis, 0, 0, 0, 0))(
-            params["fg_implicit"], state, cond_pose, keys[:P], keys[P:]
+        bundle = self.implicit_bundle(params)
+        grad_theta = jax.vmap(person_eik, in_axes=(self.bundle_axes(), 0, 0, 0, 0, 0))(
+            bundle, state, cond_pose, inputs.betas, keys[:P], keys[P:]
         )  # (P, n_eik, 3)
 
         # SMPL-surface anchoring loss (multiply.py:336-362)
         smpl_surface_loss = jnp.zeros(())
         if self.smpl_surface_weight > 0:
-            def person_surface_loss(pp, st, cp, tfs, verts, k):
+            def person_surface_loss(pp, st, cp, be, tfs, verts, k):
                 idx = jax.random.categorical(
                     k, st.surface_sample_logits, shape=(R,)
                 )
                 sample = verts[idx]
                 x_c, _ = st.deformer.inverse(sample, tfs, verts)
-                sdf = self._implicit(pp, x_c, cp)[:, 0]
+                sdf = self._implicit(pp, x_c, cp, betas=be)[:, 0]
                 viol = sdf > 0.02
                 return jnp.sum(jnp.where(viol, sdf - 0.02, 0.0)) / jnp.maximum(
                     jnp.sum(viol), 1.0
@@ -523,8 +588,11 @@ class MultiplyRenderer:
 
             ks = jax.random.split(jax.random.fold_in(key, 23), P)
             smpl_surface_loss = jnp.sum(
-                jax.vmap(person_surface_loss, in_axes=(fg_axis, 0, 0, 0, 0, 0))(
-                    params["fg_implicit"], state, cond_pose,
+                jax.vmap(
+                    person_surface_loss,
+                    in_axes=(self.bundle_axes(), 0, 0, 0, 0, 0, 0),
+                )(
+                    bundle, state, cond_pose, inputs.betas,
                     pout["tfs"], pout["verts"], ks,
                 )
             )

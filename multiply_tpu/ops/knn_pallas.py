@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 QUERY_BLOCK = 1024  # 8 sublanes x 128 lanes per output block
-REF_TILE = 512
+REF_TILE = 2048
 PAD_COORD = 1e4  # padding verts land far away; d2 ~ 3e8 stays < f32 inf
 
 

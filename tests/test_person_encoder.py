@@ -74,3 +74,35 @@ def test_shared_train_grads(shared_setup):
         float(jnp.abs(l).max()) > 0
         for l in jax.tree_util.tree_leaves(g["fg_implicit"])
     )
+
+
+def test_offset_head_and_beta_encoding_path():
+    """Shared net + per-person offset heads + beta encoding (networks.py
+    offset_head/beta_encoding options): runs, and heads differentiate people."""
+    from multiply_tpu.body import SMPLServer, synthetic_body_model
+
+    conf = Config(TINY_CONF.to_dict())
+    conf["use_person_encoder"] = True
+    conf["implicit_network"]["cond"] = "smpl_id"
+    conf["implicit_network"]["offset_head"] = True
+    conf["implicit_network"]["beta_encoding"] = True
+
+    model = synthetic_body_model()
+    servers = [SMPLServer.create(model, betas=np.zeros(10)) for _ in range(2)]
+    renderer = MultiplyRenderer(conf, num_persons=2, num_frames=2)
+    state = renderer.build_person_state(servers, grid_res=12)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    assert "offset_head" in params and "beta_encoder" in params
+
+    inputs = make_inputs(4)
+    out = renderer.render(params, state, inputs, train=True, key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out["rgb_values"])).all()
+
+    # near-zero-initialized heads start close to the shared field
+    bundle_full = renderer.implicit_bundle(params, 0)
+    bundle_bare = {"imp": params["fg_implicit"]}
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((8, 3)).astype(np.float32))
+    cond = jnp.zeros((133,))
+    sdf_full = renderer._implicit(bundle_full, x, cond, betas=jnp.zeros(10))[:, 0]
+    sdf_bare = renderer._implicit(bundle_bare, x, cond)[:, 0]
+    np.testing.assert_allclose(np.asarray(sdf_full), np.asarray(sdf_bare), atol=1e-2)
