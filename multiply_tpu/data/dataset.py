@@ -183,11 +183,14 @@ class Hi4DSequence:
 
         cam = np.load(os.path.join(root, "cameras_normalize.npz"))
         self.P, self.C, self.intrinsics, self.pose = [], [], [], []
+        self.scale_mats, self.world_mats = [], []
         self.scale = 1.0 / cam[f"scale_mat_{self.training_indices[0]}"][0, 0]
         for i in self.training_indices:
-            P = cam[f"world_mat_{i}"].astype(np.float32) @ cam[
-                f"scale_mat_{i}"
-            ].astype(np.float32)
+            scale_mat = cam[f"scale_mat_{i}"].astype(np.float32)
+            world_mat = cam[f"world_mat_{i}"].astype(np.float32)
+            self.scale_mats.append(scale_mat)
+            self.world_mats.append(world_mat)
+            P = world_mat @ scale_mat
             self.P.append(P)
             self.C.append(-np.linalg.solve(P[:3, :3], P[:3, 3]))
             intr, pose = load_K_Rt_from_P(P[:3, :4])
@@ -331,3 +334,46 @@ class Hi4DSequence:
             "img_size": (H, W),
             "masks": frame["masks"],
         }
+
+
+def novel_view_cameras(
+    seq: "Hi4DSequence",
+    gt_cameras: dict,  # rgb_cameras.npz contents: ids, intrinsics, extrinsics
+    current_view: int,
+    novel_view: int,
+) -> list[dict]:
+    """Re-derive per-frame projection for a held-out GT camera.
+
+    Parity target: Hi4D.py:387-431 (Hi4DTestDataset novel view): relate the
+    training camera to the GT current view, transplant that relation onto the
+    GT target view, rescale intrinsics by the training/GT focal ratio, and
+    re-apply the scene normalization scale matrix.
+    """
+    ids = np.asarray(gt_cameras["ids"])
+    c_cur = int(np.where(ids == current_view)[0][0])
+    c_tgt = int(np.where(ids == novel_view)[0][0])
+    K_cur = np.asarray(gt_cameras["intrinsics"][c_cur])
+    E_cur = np.asarray(gt_cameras["extrinsics"][c_cur])
+    K_tgt = np.asarray(gt_cameras["intrinsics"][c_tgt])
+    E_tgt = np.asarray(gt_cameras["extrinsics"][c_tgt])
+
+    out = []
+    for scale_mat, world_mat in zip(seq.scale_mats, seq.world_mats):
+        intr_train, pose_train = load_K_Rt_from_P(world_mat[:3, :4])
+        scale_factor = K_cur[0, 0] / intr_train[0, 0]
+        R3 = pose_train[:3, :3].T
+        t3 = -R3 @ pose_train[:3, 3]
+        R1, t1 = E_cur[:3, :3], E_cur[:3, 3]
+        Rab = R3.T @ R1
+        tab = R3.T @ (t1 - t3)
+        R4 = E_tgt[:3, :3] @ Rab.T
+        t4 = E_tgt[:3, 3] - R4 @ tab
+
+        K_scaled = K_tgt[:3, :3].copy()
+        K_scaled[:2] /= scale_factor
+        novel_world = np.eye(4, dtype=np.float64)
+        novel_world[:3, :4] = K_scaled @ np.concatenate([R4, t4.reshape(3, 1)], axis=1)
+        P = (novel_world @ scale_mat).astype(np.float32)
+        intr, pose = load_K_Rt_from_P(P[:3, :4])
+        out.append({"P": P, "intrinsics": intr[:3, :3], "pose": pose})
+    return out

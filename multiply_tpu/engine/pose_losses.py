@@ -133,6 +133,53 @@ def sparse_depth_order_loss(
     return loss, jnp.mean(valid.astype(jnp.float32))
 
 
+PERSON_COLORS = jnp.asarray(
+    [
+        [1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0],
+        [0.49, 0.49, 0.0], [0.0, 0.49, 0.49], [0.49, 0.0, 0.49],
+        [0.25, 0.0, 0.0], [0.0, 0.25, 0.0], [0.0, 0.0, 0.25],
+        [0.125, 0.125, 0.0], [0.0, 0.125, 0.125], [0.125, 0.0, 0.125],
+    ]
+)
+
+
+def sparse_silhouette_loss(
+    ray_o: jnp.ndarray,  # (M, 3)
+    ray_d: jnp.ndarray,  # (M, 3)
+    verts_list: list[jnp.ndarray],
+    faces_list: list[jnp.ndarray],
+    sam_probs: jnp.ndarray,  # (M, P)
+    soft_tau: float = 0.02,
+) -> jnp.ndarray:
+    """Soft instance-color render vs SAM-argmax color at sampled pixels
+    (multiply_model.py:637-686, PyTorch3D soft blending -> per-pixel softmin
+    over person depths). L2, differentiable to the deformed vertices."""
+    M, P = sam_probs.shape
+    depths, hits = [], []
+    for v, f in zip(verts_list, faces_list):
+        out = ray_mesh_intersect(ray_o, ray_d, v, f, soft_tau=soft_tau)
+        depths.append(jnp.where(out["hit"], out["t_soft"], 1e3))
+        hits.append(out["hit"])
+    depth = jnp.stack(depths, axis=-1)  # (M, P)
+    hit = jnp.stack(hits, axis=-1)
+
+    # soft blend over persons; a virtual background 'person' at large depth
+    logits = jnp.concatenate(
+        [-depth / soft_tau, jnp.full((M, 1), -1e3 / soft_tau)], axis=-1
+    )
+    logits = jnp.where(
+        jnp.concatenate([hit, jnp.ones((M, 1), bool)], -1), logits, -jnp.inf
+    )
+    w = jax.nn.softmax(logits, axis=-1)  # (M, P+1)
+    colors = jnp.concatenate([PERSON_COLORS[:P], jnp.zeros((1, 3))], axis=0)
+    rendered = w @ colors  # (M, 3)
+
+    bg_prob = 1.0 - jnp.sum(sam_probs, axis=-1, keepdims=True)
+    gt_idx = jnp.argmax(jnp.concatenate([sam_probs, bg_prob], -1), axis=-1)
+    gt = colors[gt_idx]
+    return jnp.mean((rendered - gt) ** 2)
+
+
 def depth_loss_schedule(weight: float, epoch, milestone: int = 1000):
     epoch = jnp.asarray(epoch, jnp.float32)
     return weight * (1.0 - jnp.minimum(float(milestone), epoch) / milestone)

@@ -113,6 +113,7 @@ class Trainer:
         self.interpenetration_weight = model_conf.loss.get(
             "interpenetration_loss_weight", 0.0
         )
+        self.silhouette_weight = model_conf.loss.get("silhouette_weight", 0.0)
 
         # init body tables from preprocessed poses (multiply_model.py:76-93)
         tables = [
@@ -512,11 +513,21 @@ class Trainer:
                 ray_o / scale, ray_d, verts_d, faces_list, sam_probs,
                 scale_to_full=scale_to_full,
             )
-            i_loss = interpenetration_loss(verts_d, faces_list, key)
-            return (
+            i_loss = interpenetration_loss(
+                verts_d, faces_list, key, num_samples=self.interp_samples
+            )
+            total = (
                 self.depth_order_weight * d_sched * d_loss
                 + self.interpenetration_weight * d_sched * i_loss
             )
+            if self.silhouette_weight > 0:
+                from .pose_losses import sparse_silhouette_loss
+
+                s_loss = sparse_silhouette_loss(
+                    ray_o / scale, ray_d, verts_d, faces_list, sam_probs
+                )
+                total = total + self.silhouette_weight * d_sched * s_loss
+            return total
 
         grad_fn = jax.jit(jax.value_and_grad(loss_fn))
         opt_state = adam_init(body)

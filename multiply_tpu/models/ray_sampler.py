@@ -79,8 +79,15 @@ def _sample_cdf(
     cdf: jnp.ndarray,  # (R, M) cumulative distribution (cdf[...,0] == 0)
     u: jnp.ndarray,  # (R, N) uniforms
 ) -> jnp.ndarray:
-    """Inverse-CDF sampling (reference ray_sampler.py:167-186)."""
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    """Inverse-CDF sampling (reference ray_sampler.py:167-186).
+
+    method='compare_all': the default 'scan' searchsorted lowers to a
+    sequential while-loop — ~25% of the whole training step on TPU; the
+    vectorized compare is sub-ms at our (rays x bins x samples) sizes.
+    """
+    inds = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right", method="compare_all")
+    )(cdf, u)
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, cdf.shape[-1] - 1)
     cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
@@ -178,9 +185,11 @@ def error_bound_sample(
     # active window [0, n_eval*(r+1)) is static
     for r in range(iters):
         m_act = n_eval * (r + 1)
-        order = jnp.argsort(zbuf[:, :m_act], axis=-1)
-        z_act = jnp.take_along_axis(zbuf[:, :m_act], order, axis=-1)
-        s_act = jnp.take_along_axis(sbuf[:, :m_act], order, axis=-1)
+        # multi-operand sort: key + payload in one fused op (argsort +
+        # take_along_axis emits TPU gathers — ~25% of the step when profiled)
+        z_act, s_act = jax.lax.sort(
+            (zbuf[:, :m_act], sbuf[:, :m_act]), dimension=-1, num_keys=1
+        )
 
         dists, d_star = _dstar(z_act, s_act)
 

@@ -76,6 +76,7 @@ class MultiplyRenderer:
         self.scene_sphere = conf.implicit_network.get("scene_bounding_sphere", 3.0)
         self.threshold = 0.05  # off-surface threshold (multiply.py:88)
         self.smpl_surface_weight = conf.loss.get("smpl_surface_weight", 0)
+        self.zero_pose_weight = conf.loss.get("zero_pose_weight", 0)
         # shared shape net + per-person identity latents (multiply.py:30-51)
         self.use_person_encoder = bool(conf.get("use_person_encoder", False))
         # per-person refinement head / shape-code injection over a shared net
@@ -97,6 +98,9 @@ class MultiplyRenderer:
         )
         self.beta_init = float(conf.density.params_init.get("beta", 0.1))
         self.beta_min = float(conf.density.get("beta_min", 1e-4))
+        # bf16 for the sampler's SDF evals (placement-only decisions; the
+        # final render evals stay f32). Off by default for reference parity.
+        self.sampler_bf16 = bool(conf.get("sampler_bf16", False))
 
     # ------------------------------------------------------------------
     # setup
@@ -288,9 +292,26 @@ class MultiplyRenderer:
         half = 0.5 * (jnp.max(verts, 0) - jnp.min(verts, 0)) * 1.2
         hit = ray_aabb_hit(ray_o, ray_d, center - half, center + half)  # (R,)
 
-        sdf_only = lambda pts: self._sdf_with_deformer(
-            bundle, state.deformer, tfs, verts, cond_vec, pts, train, betas=betas
-        )[0]
+        if self.sampler_bf16:
+            bundle16 = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                bundle,
+            )
+            cond16 = cond_vec.astype(jnp.bfloat16)
+
+            def sdf_only(pts):
+                s = self._sdf_with_deformer(
+                    bundle16, state.deformer, tfs, verts, cond16,
+                    pts, train, betas=betas,
+                )[0]
+                return s.astype(jnp.float32)
+
+        else:
+            sdf_only = lambda pts: self._sdf_with_deformer(
+                bundle, state.deformer, tfs, verts, cond_vec, pts, train, betas=betas
+            )[0]
         samp = error_bound_sample(
             self.sampler_cfg,
             lambda pts: jax.lax.stop_gradient(sdf_only(jax.lax.stop_gradient(pts))),
@@ -431,11 +452,21 @@ class MultiplyRenderer:
         )
         pid_f = flat(pid)
 
-        order = jnp.argsort(ends_f, axis=-1)
-        fe_s = jnp.take_along_axis(fe_f, order, axis=-1)
-        rgb_s = jnp.take_along_axis(rgb_f, order[..., None], axis=-2)
-        nrm_s = jnp.take_along_axis(nrm_f, order[..., None], axis=-2)
-        pid_s = jnp.take_along_axis(pid_f, order, axis=-1)
+        # one multi-operand sort (key = interval end) instead of argsort +
+        # five gathers — TPU gathers dominated the profiled step otherwise
+        (_, fe_s, r0, r1, r2, n0, n1, n2, pid_s) = jax.lax.sort(
+            (
+                ends_f, fe_f,
+                rgb_f[..., 0], rgb_f[..., 1], rgb_f[..., 2],
+                nrm_f[..., 0], nrm_f[..., 1], nrm_f[..., 2],
+                pid_f.astype(jnp.float32),
+            ),
+            dimension=-1,
+            num_keys=1,
+        )
+        rgb_s = jnp.stack([r0, r1, r2], axis=-1)
+        nrm_s = jnp.stack([n0, n1, n2], axis=-1)
+        pid_s = pid_s.astype(jnp.int32)
 
         alpha = 1.0 - jnp.exp(-fe_s)
         shifted = jnp.concatenate([jnp.zeros((R, 1)), fe_s[:, :-1]], axis=-1)
@@ -597,11 +628,37 @@ class MultiplyRenderer:
                 )
             )
 
+        # zero-pose consistency: the canonical field under the current pose
+        # conditioning should match the zero-pose conditioning on canonical
+        # surface points (multiply.py:364-390)
+        zero_pose_loss = jnp.zeros(())
+        if self.zero_pose_weight > 0:
+            n_zp = 2000
+
+            def person_zero_pose(pp, st, cp, be, k):
+                V = st.server.verts_c.shape[0]
+                idx = jax.random.randint(k, (n_zp,), 0, V)
+                sample = st.server.verts_c[idx]
+                out_pred = self._implicit(pp, sample, cp, betas=be)
+                cp_zero = cp.at[:69].set(0.0) if cp.ndim == 1 else cp * 0.0
+                out_zero = self._implicit(pp, sample, cp_zero, betas=be)
+                return jnp.mean(jnp.abs(out_pred[:, :1] - out_zero[:, :1])) + jnp.mean(
+                    jnp.abs(out_pred[:, 1:] - out_zero[:, 1:])
+                )
+
+            kz = jax.random.split(jax.random.fold_in(key, 31), P)
+            zero_pose_loss = jnp.sum(
+                jax.vmap(person_zero_pose, in_axes=(self.bundle_axes(), 0, 0, 0, 0))(
+                    bundle, state, cond_pose, inputs.betas, kz
+                )
+            )
+
         return {
             "index_off_surface": index_off_surface,
             "index_in_surface": index_in_surface,
             "grad_theta": grad_theta.reshape(-1, 3),
             "smpl_surface_loss": smpl_surface_loss,
+            "zero_pose_loss": zero_pose_loss,
             "epoch": ep,
         }
 
