@@ -81,19 +81,25 @@ def _sample_cdf(
 ) -> jnp.ndarray:
     """Inverse-CDF sampling (reference ray_sampler.py:167-186).
 
-    method='compare_all': the default 'scan' searchsorted lowers to a
-    sequential while-loop — ~25% of the whole training step on TPU; the
-    vectorized compare is sub-ms at our (rays x bins x samples) sizes.
+    Gather-free formulation: `cdf` and `bins` are both sorted ascending, so
+    the bracketing neighbors of each u are masked max/min reductions over the
+    bin axis (prefix = entries with cdf <= u). TPU gathers from
+    searchsorted + take_along_axis dominated the profiled training step;
+    the masked reduces fuse into one pass.
     """
-    inds = jax.vmap(
-        lambda c, uu: jnp.searchsorted(c, uu, side="right", method="compare_all")
-    )(cdf, u)
-    below = jnp.maximum(inds - 1, 0)
-    above = jnp.minimum(inds, cdf.shape[-1] - 1)
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bin_b = jnp.take_along_axis(bins, below, axis=-1)
-    bin_a = jnp.take_along_axis(bins, above, axis=-1)
+    BIG = 1e10
+    c = cdf[:, None, :]  # (R, 1, M)
+    b = bins[:, None, :]
+    le = c <= u[..., None]  # (R, N, M) prefix mask; u >= 0 = cdf[...,0] so
+    # the prefix is never empty (searchsorted-right 'below' clamp)
+    cdf_b = jnp.max(jnp.where(le, c, -BIG), axis=-1)
+    bin_b = jnp.max(jnp.where(le, b, -BIG), axis=-1)
+    cdf_a = jnp.min(jnp.where(le, BIG, c), axis=-1)
+    bin_a = jnp.min(jnp.where(le, BIG, b), axis=-1)
+    # u beyond the last cdf entry: clamp 'above' to the last bin
+    empty_above = cdf_a > BIG / 2
+    cdf_a = jnp.where(empty_above, cdf[:, -1:], cdf_a)
+    bin_a = jnp.where(empty_above, bins[:, -1:], bin_a)
     denom = cdf_a - cdf_b
     denom = jnp.where(denom < 1e-5, 1.0, denom)
     t = (u - cdf_b) / denom

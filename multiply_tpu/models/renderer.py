@@ -238,6 +238,13 @@ class MultiplyRenderer:
         optional "head": OffsetHead params, "benc": BetaEncoder params}."""
         if not isinstance(bundle, dict):
             bundle = {"imp": bundle}
+        # match the input dtype to the params: bf16 sampler bundles must not
+        # promote back to f32 through a mixed-dtype matmul
+        param_dtype = jax.tree_util.tree_leaves(bundle["imp"])[0].dtype
+        if param_dtype == jnp.bfloat16 and x.dtype != jnp.bfloat16:
+            x = x.astype(jnp.bfloat16)
+            cond_vec = None if cond_vec is None else cond_vec.astype(jnp.bfloat16)
+            betas = None if betas is None else betas.astype(jnp.bfloat16)
         layer0_extra = None
         if "benc" in bundle and betas is not None:
             layer0_extra = self.beta_encoder.apply(bundle["benc"], betas, x.shape[0])
