@@ -104,7 +104,10 @@ def build_sam_prompts(
     prompts = []
     for pid in range(P):
         mask = instance_masks[pid]
-        neg_mask = np.max(np.delete(instance_masks, pid, axis=0), axis=0)
+        others = np.delete(instance_masks, pid, axis=0)
+        neg_mask = (
+            others.max(axis=0) if len(others) else np.zeros_like(mask)
+        )
 
         idx = np.argwhere(mask)
         if len(idx) == 0:

@@ -81,8 +81,20 @@ class Trainer:
         )
         self.grid_res = int(model_conf.get("cano_grid_res", 64))
         self.mesh_res_up = int(model_conf.get("cano_mesh_res_up", 2))
+        # SMPL-surface loss sampling weights: exclude head/hands/feet when the
+        # standard vertex segmentation is available (multiply.py:112-113)
+        surface_logits = None
+        seg_path = str(
+            model_conf.get("smpl_vert_segmentation", "outputs/smpl_vert_segmentation.json")
+        )
+        if model_conf.loss.get("smpl_surface_weight", 0) > 0 and os.path.exists(seg_path):
+            from ..body.segmentation import surface_sample_logits
+
+            surface_logits = [
+                surface_sample_logits(seg_path, s.verts_c.shape[0]) for s in servers
+            ]
         self.person_state = self.renderer.build_person_state(
-            servers, grid_res=self.grid_res
+            servers, surface_logits=surface_logits, grid_res=self.grid_res
         )
         self.servers = servers
 
@@ -108,6 +120,9 @@ class Trainer:
         self.depth_epoch = list(model_conf.get("depth_epoch", []))
         self.depth_cond_zero = bool(model_conf.get("depth_cond_zero", False))
         self.it_per_loop = model_conf.get("it_per_loop", 100)
+        self.depth_pixel_samples = int(model_conf.get("depth_pixel_samples", 4096))
+        self.interp_samples = int(model_conf.get("interp_samples", 5120))
+        self.mesh_pad_bucket = int(model_conf.get("mesh_pad_bucket", 8192))
         self.using_sam = bool(conf.dataset.train.get("using_SAM", True))
         self.depth_order_weight = model_conf.loss.get("depth_order_weight", 0.005)
         self.interpenetration_weight = model_conf.loss.get(
@@ -462,7 +477,7 @@ class Trainer:
                 np.asarray(self.servers[p].verts_c),
                 res_up=self.mesh_res_up,
             )
-            meshes.append(_pad_mesh(verts_c, faces))
+            meshes.append(_pad_mesh(verts_c, faces, bucket=self.mesh_pad_bucket))
 
         scale = float(self.seq.scale)
         pose_cam = jnp.asarray(item["pose"])
@@ -475,7 +490,7 @@ class Trainer:
         n_valid = len(vx)
         if n_valid == 0:
             return
-        M = min(4096, n_valid)
+        M = min(self.depth_pixel_samples, n_valid)
         sel = self.rng.choice(n_valid, M, replace=False)
         uv = np.stack([vx[sel], vy[sel]], -1).astype(np.float32)
         sam_probs = jnp.asarray(sam_probs_full[vy[sel], vx[sel]])

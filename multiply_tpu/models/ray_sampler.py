@@ -149,8 +149,13 @@ def error_bound_sample(
     ray_d: jnp.ndarray,  # (R, 3)
     beta0: jnp.ndarray,  # () current Laplace beta (stop-grad by caller)
     key: jax.Array | None = None,  # training randomness; None = eval mode
+    ray_range: tuple | None = None,  # optional per-ray (near (R,), far (R,))
 ) -> dict:
     """Run the fixed-round error-bound sampler.
+
+    `ray_range` clips sampling to a per-ray interval (e.g. the person's
+    bounding-box entry/exit) instead of [near, sphere_far] — the
+    use_bbox_sampler idea: same eval budget, concentrated on the subject.
 
     Returns:
       z_vals: (R, N_samples + N_samples_extra + 2) final sorted fg samples
@@ -164,9 +169,14 @@ def error_bound_sample(
         jax.random.split(key, 4) if key is not None else [None] * 4
     )
 
-    near = jnp.full((R, 1), cfg.near)
     sphere_nf = get_sphere_intersections(ray_o, ray_d, r=cfg.scene_bounding_sphere)
-    far = sphere_nf[:, 1:]
+    if ray_range is not None:
+        near = ray_range[0][:, None]
+        far = jnp.minimum(ray_range[1][:, None], sphere_nf[:, 1:])
+        far = jnp.maximum(far, near + 1e-4)
+    else:
+        near = jnp.full((R, 1), cfg.near)
+        far = sphere_nf[:, 1:]
 
     def eval_sdf(z):  # (R, n) -> (R, n)
         pts = ray_o[:, None, :] + z[..., None] * ray_d[:, None, :]

@@ -101,6 +101,9 @@ class MultiplyRenderer:
         # bf16 for the sampler's SDF evals (placement-only decisions; the
         # final render evals stay f32). Off by default for reference parity.
         self.sampler_bf16 = bool(conf.get("sampler_bf16", False))
+        # clip each person's sampling interval to its box entry/exit
+        # (use_bbox_sampler concept; off by default for reference parity)
+        self.bbox_ray_range = bool(conf.get("bbox_ray_range", False))
 
     # ------------------------------------------------------------------
     # setup
@@ -297,7 +300,9 @@ class MultiplyRenderer:
         # in-graph replacement of the OBB ray culling: padded AABB hit mask
         center = 0.5 * (jnp.max(verts, 0) + jnp.min(verts, 0))
         half = 0.5 * (jnp.max(verts, 0) - jnp.min(verts, 0)) * 1.2
-        hit = ray_aabb_hit(ray_o, ray_d, center - half, center + half)  # (R,)
+        from ..ops.mesh_ops import ray_aabb_range
+
+        t_near, t_far, hit = ray_aabb_range(ray_o, ray_d, center - half, center + half)
 
         if self.sampler_bf16:
             bundle16 = jax.tree.map(
@@ -319,6 +324,12 @@ class MultiplyRenderer:
             sdf_only = lambda pts: self._sdf_with_deformer(
                 bundle, state.deformer, tfs, verts, cond_vec, pts, train, betas=betas
             )[0]
+        ray_range = None
+        if self.bbox_ray_range:
+            # miss rays keep the full interval (they're masked out anyway)
+            rn = jnp.where(hit, t_near, 0.0)
+            rf = jnp.where(hit, t_far, 2.0 * self.scene_sphere)
+            ray_range = (jax.lax.stop_gradient(rn), jax.lax.stop_gradient(rf))
         samp = error_bound_sample(
             self.sampler_cfg,
             lambda pts: jax.lax.stop_gradient(sdf_only(jax.lax.stop_gradient(pts))),
@@ -326,6 +337,7 @@ class MultiplyRenderer:
             ray_d,
             beta0,
             key=key if train else None,
+            ray_range=ray_range,
         )
         z_all = jax.lax.stop_gradient(samp["z_vals"])  # (R, S+1) incl. far
         z_vals, z_max = z_all[:, :-1], z_all[:, -1]

@@ -221,17 +221,26 @@ def ray_mesh_intersect(
     }
 
 
-def ray_aabb_hit(
+def ray_aabb_range(
     ray_o: jnp.ndarray,  # (R,3)
     ray_d: jnp.ndarray,  # (R,3)
     lo: jnp.ndarray,  # (3,)
     hi: jnp.ndarray,  # (3,)
-) -> jnp.ndarray:
-    """Slab-test ray/AABB hit mask (R,). Replaces the reference's host-side
-    trimesh OBB intersector (multiply.py:208-214) with an in-graph test."""
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Slab test: (t_near (R,), t_far (R,), hit (R,)). Replaces the
+    reference's host-side trimesh OBB intersector (multiply.py:208-214) with
+    an in-graph test; the entry/exit distances also drive per-person
+    ray-range clipping."""
     inv = 1.0 / jnp.where(jnp.abs(ray_d) < 1e-9, 1e-9, ray_d)
     t0 = (lo[None, :] - ray_o) * inv
     t1 = (hi[None, :] - ray_o) * inv
     tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    return (tmax >= jnp.maximum(tmin, 0.0))
+    tmin = jnp.maximum(tmin, 0.0)
+    hit = tmax >= tmin
+    return tmin, tmax, hit
+
+
+def ray_aabb_hit(ray_o, ray_d, lo, hi) -> jnp.ndarray:
+    """Boolean form of ray_aabb_range."""
+    return ray_aabb_range(ray_o, ray_d, lo, hi)[2]

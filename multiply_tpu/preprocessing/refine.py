@@ -28,6 +28,14 @@ from .rotations import axis_angle_to_rot6d
 SMPL_TO_COCO17 = jnp.asarray(
     [24, 26, 25, 28, 27, 16, 17, 18, 19, 20, 21, 1, 2, 4, 5, 7, 8]
 )
+# OpenPose BODY_25 mapping (reference preprocessing_utils.py smpl->openpose
+# maps); entries of -1 have no SMPL correspondent and are zero-weighted.
+SMPL_TO_OPENPOSE25 = jnp.asarray(
+    [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+     25, 26, 28, 27, -1, -1, -1, -1, -1, -1]
+)
+# reference loss.py:29-31 ignores neck/hips for the 25-kpt loss
+OPENPOSE_IGNORED = (1, 9, 12)
 
 
 class GMoF(NamedTuple):
@@ -68,14 +76,22 @@ def refine_frame(
 ):
     """One frame's refinement, vmapped over persons. Returns refined params."""
     gmof = GMoF(cfg.rho)
+    if cfg.is_vitpose:
+        joint_map = SMPL_TO_COCO17
+        joint_weights = jnp.ones((17,))
+    else:
+        joint_map = jnp.maximum(SMPL_TO_OPENPOSE25, 0)
+        joint_weights = jnp.ones((25,))
+        joint_weights = joint_weights.at[jnp.asarray(OPENPOSE_IGNORED)].set(0.0)
+        joint_weights = jnp.where(SMPL_TO_OPENPOSE25 >= 0, joint_weights, 0.0)
 
     def person_loss(params, srv, kp2d, lp):
         pose, transl, betas = params
         out = smpl_server_forward(srv, jnp.ones(()), transl, pose, betas)
-        joints = out["smpl_all_jnts"]  # (29, 3)
-        model_kp = joints[SMPL_TO_COCO17]
+        joints = out["smpl_all_jnts"]
+        model_kp = joints[joint_map]
         pix = project(model_kp, K, R, t)
-        conf = kp2d[:, 2]
+        conf = kp2d[:, 2] * joint_weights
         j2d = jnp.mean(conf[:, None] ** 2 * gmof(kp2d[:, :2] - pix))
         temporal = jnp.mean(
             jnp.square(

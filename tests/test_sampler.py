@@ -117,3 +117,16 @@ def test_error_bound_sampler_jits():
     )
     z = f(ray_o, ray_d)
     assert np.all(np.isfinite(np.asarray(z)))
+
+
+def test_error_bound_sampler_ray_range_clipping():
+    """bbox ray-range mode: samples stay inside the given interval."""
+    ray_o, ray_d = make_rays(4)
+    rn = jnp.full((4,), 1.2)
+    rf = jnp.full((4,), 2.2)
+    out = error_bound_sample(
+        CFG, sphere_sdf, ray_o, ray_d, jnp.asarray(0.01), ray_range=(rn, rf)
+    )
+    z = np.asarray(out["z_vals"])
+    assert z.min() >= 1.2 - 1e-5
+    assert z.max() <= 2.2 + 1e-5
