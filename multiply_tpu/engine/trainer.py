@@ -362,16 +362,37 @@ class Trainer:
         )
 
     def train_epoch(self) -> dict:
+        """One pass over shuffled frames, with a host prefetch thread loading
+        the next frame's rays while the device steps (the reference feeds a
+        GPU with 8 DataLoader workers; one thread saturates an on-device
+        step)."""
+        import queue
+        import threading
+
         order = self.rng.permutation(self.num_frames)
+        item_rng = np.random.default_rng(self.rng.integers(0, 2**31))
+        q: queue.Queue = queue.Queue(maxsize=2)
+
+        def producer():
+            for i in order:
+                q.put(self.seq.get_train_item(int(i), item_rng))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
         logs = None
         self.ts = self.ts._replace(epoch=jnp.asarray(self.epoch, jnp.int32))
-        for i in order:
-            item = self.seq.get_train_item(int(i), self.rng)
+        while True:
+            item = q.get()
+            if item is None:
+                break
             has_sam = "sam_mask" in item
             mode = self._select_mode(item.get("is_certain", True), has_sam)
             batch = self.make_batch(item, mode)
             self.key, k = jax.random.split(self.key)
             self.ts, logs = self._step(self.ts, batch, k, self.person_state)
+        t.join()
         return {k: float(v) for k, v in (logs or {}).items()}
 
     def fit(self, max_epochs: int, log_every: int = 10, ckpt_every: int = 100,

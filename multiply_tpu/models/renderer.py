@@ -344,16 +344,18 @@ class MultiplyRenderer:
         S = z_vals.shape[-1]
 
         pts = (ray_o[:, None, :] + z_vals[..., None] * ray_d[:, None, :]).reshape(-1, 3)
-        sdf, x_c, feat = self._sdf_with_deformer(
-            bundle, state.deformer, tfs, verts, cond_vec, pts, train, betas=betas
-        )
+        # one implicit forward shared between the render values and the
+        # normals VJP (a separate jax.vjp would re-run the whole network)
+        x_c, outlier = state.deformer.inverse(pts, tfs, verts)
 
-        # normals: nabla_c sdf via one batched VJP; J = blended bone rotation
-        def sdf_batch(xc):
-            return self._implicit(bundle, xc, cond_vec, betas=betas)[:, 0]
+        def f(xc):
+            out = self._implicit(bundle, xc, cond_vec, betas=betas)
+            return out[:, 0], out[:, 1:]
 
-        _, vjp_fn = jax.vjp(sdf_batch, x_c)
-        (sdf_grad_c,) = vjp_fn(jnp.ones_like(sdf))
+        (sdf, feat), vjp_fn = jax.vjp(f, x_c)
+        if not train:
+            sdf = jnp.where(outlier, OUTLIER_SDF, sdf)
+        (sdf_grad_c,) = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(feat)))
         _, J = state.deformer.forward_jacobian(x_c, tfs)
         from ..ops.skinning import inv3x3
 

@@ -183,3 +183,33 @@ def test_render_grads_flow(setup):
     assert float(jnp.abs(g_transl).max()) > 0
     g_beta = g_params["beta"]
     assert np.isfinite(np.asarray(g_beta)).all()
+
+
+def test_three_person_render():
+    """BASELINE config #4 shape: 3 persons composited (MMM-style)."""
+    from multiply_tpu.body import SMPLServer, synthetic_body_model
+
+    model = synthetic_body_model()
+    servers = [SMPLServer.create(model, betas=np.full(10, 0.1 * i)) for i in range(3)]
+    renderer = MultiplyRenderer(TINY_CONF, num_persons=3, num_frames=2)
+    state = renderer.build_person_state(servers, grid_res=10)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, -2.5]
+    intr = np.array([[100.0, 0, 32.0], [0, 100.0, 32.0], [0, 0, 1]], np.float32)
+    uv = np.stack([np.linspace(16, 48, 5), np.full(5, 32.0)], -1).astype(np.float32)
+    thetas = np.stack([np.asarray(canonical_pose_params())] * 3)
+    inputs = RenderInputs(
+        uv=jnp.asarray(uv), pose=jnp.asarray(pose), intrinsics=jnp.asarray(intr),
+        scale=jnp.ones(3),
+        transl=jnp.asarray([[0.6, 0, 0], [0.0, 0, 0], [-0.6, 0, 0]], jnp.float32),
+        thetas=jnp.asarray(thetas), betas=jnp.stack([jnp.full(10, 0.1 * i) for i in range(3)]),
+        frame_idx=jnp.asarray(0), epoch=jnp.asarray(100),
+    )
+    out = renderer.render(params, state, inputs, train=False)
+    assert out["acc_person_list"].shape == (5, 3)
+    np.testing.assert_allclose(
+        np.asarray(out["acc_person_list"]).sum(-1), np.asarray(out["acc_map"]), atol=1e-5
+    )
+    assert np.isfinite(np.asarray(out["rgb_values"])).all()
