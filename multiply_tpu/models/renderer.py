@@ -104,6 +104,26 @@ class MultiplyRenderer:
         # clip each person's sampling interval to its box entry/exit
         # (use_bbox_sampler concept; off by default for reference parity)
         self.bbox_ray_range = bool(conf.get("bbox_ray_range", False))
+        # fused Pallas forward for the sampler's (stop-grad) SDF evals —
+        # numerically exact but measured ~12% SLOWER than XLA's own matmul
+        # pipeline at these shapes (v5e, 65k pts x 8x256); off by default,
+        # kept as tuning infrastructure
+        self.fused_sampler_mlp = bool(conf.get("fused_sampler_mlp", False))
+        self._fused_mlp = None
+        if self.fused_sampler_mlp and not (self.offset_head_on or self.beta_encoding_on):
+            try:
+                from ..ops.mlp_pallas import FusedSDFMLP
+
+                cond_dim = (
+                    69 + 64
+                    if self.use_person_encoder
+                    else {"smpl": 69, "frame": 32, "smpl_id": 133, "none": 0}[
+                        self.fg_implicit.cond
+                    ]
+                )
+                self._fused_mlp = FusedSDFMLP(self.fg_implicit, cond_dim)
+            except Exception:
+                self._fused_mlp = None
 
     # ------------------------------------------------------------------
     # setup
@@ -304,7 +324,31 @@ class MultiplyRenderer:
 
         t_near, t_far, hit = ray_aabb_range(ray_o, ray_d, center - half, center + half)
 
-        if self.sampler_bf16:
+        use_fused = (
+            self._fused_mlp is not None
+            and jax.devices()[0].platform in ("tpu", "axon")
+        )
+        if use_fused:
+            # fully detached (the reference samples under torch.no_grad; the
+            # Pallas kernel defines no autodiff rule)
+            sg = jax.lax.stop_gradient
+            packed = sg(
+                self._fused_mlp.pack_weights(
+                    bundle["imp"] if isinstance(bundle, dict) else bundle
+                )
+            )
+            fused = self._fused_mlp
+            tfs_sg, verts_sg, cond_sg = sg(tfs), sg(verts), sg(cond_vec)
+
+            def sdf_only(pts):
+                x_c, outlier = state.deformer.inverse(sg(pts), tfs_sg, verts_sg)
+                xin = fused.pack_inputs(x_c, cond_sg)
+                s = fused(packed, xin)
+                if not train:
+                    s = jnp.where(outlier, OUTLIER_SDF, s)
+                return s
+
+        elif self.sampler_bf16:
             bundle16 = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32

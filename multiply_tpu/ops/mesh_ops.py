@@ -88,26 +88,48 @@ def signed_distance(
     points: jnp.ndarray,  # (N, 3)
     verts: jnp.ndarray,  # (V, 3)
     faces: jnp.ndarray,  # (F, 3) int
-    chunk_size: int = 1024,
+    chunk_size: int = 512,
+    face_chunk: int = 8192,
 ) -> jnp.ndarray:
     """Exact signed distance to a closed mesh; negative inside.
 
     Sign from the generalized winding number (robust for closed meshes,
-    matching kaolin check_sign semantics). O(N*F) — meant for offline grid
-    baking and tests, not per-step inner loops.
+    matching kaolin check_sign semantics). O(N*F), tiled over BOTH points and
+    faces with a running (min-d2, winding-sum) carry so peak memory is
+    chunk_size x face_chunk regardless of mesh size (a 200k-face learned mesh
+    once requested 56 GB of HBM through a single fused vmap).
     """
+    F = faces.shape[0]
+    f_pad = (-F) % face_chunk
+    # pad with degenerate far-away faces: zero solid angle, huge distance
     tris = verts[faces]  # (F, 3, 3)
+    tris = jnp.concatenate(
+        [tris, jnp.full((f_pad, 3, 3), 1e9, tris.dtype)], axis=0
+    ).reshape(-1, face_chunk, 3, 3)
 
-    def one_point(p):
-        d2 = jax.vmap(lambda t: point_triangle_distance_sq(p, t))(tris)
-        wind = jnp.sum(jax.vmap(lambda t: _solid_angle(p, t))(tris)) / (4.0 * jnp.pi)
-        inside = wind > 0.5
-        return jnp.where(inside, -1.0, 1.0) * jnp.sqrt(jnp.min(d2))
+    def point_chunk_fn(pc):  # (C, 3)
+        def face_scan(carry, tri_tile):  # tri_tile: (face_chunk, 3, 3)
+            min_d2, wind = carry
+            d2 = jax.vmap(
+                lambda p: jax.vmap(lambda t: point_triangle_distance_sq(p, t))(tri_tile)
+            )(pc)  # (C, face_chunk)
+            sa = jax.vmap(
+                lambda p: jax.vmap(lambda t: _solid_angle(p, t))(tri_tile)
+            )(pc)
+            return (
+                jnp.minimum(min_d2, jnp.min(d2, axis=-1)),
+                wind + jnp.sum(sa, axis=-1),
+            ), None
+
+        init = (jnp.full((pc.shape[0],), jnp.inf), jnp.zeros((pc.shape[0],)))
+        (min_d2, wind), _ = jax.lax.scan(face_scan, init, tris)
+        inside = wind / (4.0 * jnp.pi) > 0.5
+        return jnp.where(inside, -1.0, 1.0) * jnp.sqrt(min_d2)
 
     n = points.shape[0]
     pad = (-n) % chunk_size
     pts = jnp.pad(points, ((0, pad), (0, 0)))
-    out = jax.lax.map(jax.vmap(one_point), pts.reshape(-1, chunk_size, 3))
+    out = jax.lax.map(point_chunk_fn, pts.reshape(-1, chunk_size, 3))
     return out.reshape(-1)[:n]
 
 
