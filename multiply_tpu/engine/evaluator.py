@@ -131,9 +131,20 @@ class Evaluator:
                 jnp.asarray(scale), table.transl[frame_idx], thetas, table.betas[0]
             )
             deformer = jax.tree.map(lambda x: x[p], deformers)
-            verts_d = np.asarray(
-                deformer.forward(jnp.asarray(verts_c), out["smpl_tfs"], k=deform_k)
-            )
+            # 512^3 canonical meshes reach millions of verts: chunk the warp
+            # (the K=7 weight gather pads to (N,7,128) on TPU otherwise)
+            CHUNK = 100_000
+            n = len(verts_c)
+            pieces = []
+            for s in range(0, n, CHUNK):
+                part = verts_c[s : s + CHUNK]
+                pad = CHUNK - len(part)
+                part = np.pad(part, ((0, pad), (0, 0)))
+                moved = np.asarray(
+                    deformer.forward(jnp.asarray(part), out["smpl_tfs"], k=deform_k)
+                )
+                pieces.append(moved[: CHUNK - pad])
+            verts_d = np.concatenate(pieces) if pieces else verts_c
             save_ply(os.path.join(pdir, f"{frame_idx:04d}_deformed.ply"), verts_d, faces)
 
     def save_outputs(self, out_dir: str, frame_idx: int, merged: dict, gt: np.ndarray | None = None) -> None:

@@ -31,32 +31,45 @@ def winding_inside(
     verts: jnp.ndarray,  # (V, 3)
     faces: jnp.ndarray,  # (F, 3)
     chunk_size: int = 512,
+    face_chunk: int = 8192,
 ) -> jnp.ndarray:
     """Generalized winding number > 0.5 inside test (kaolin check_sign
-    equivalent, robust for closed meshes)."""
-    tris = verts[faces]  # (F,3,3)
+    equivalent, robust for closed meshes). Tiled over points AND faces with a
+    running winding-sum carry so peak memory stays chunk x face_chunk
+    (100k+-face learned meshes OOM a single fused vmap)."""
+    F = faces.shape[0]
+    f_pad = (-F) % face_chunk
+    tris = verts[faces]
+    # padding tris far away contribute ~0 solid angle
+    tris = jnp.concatenate(
+        [tris, jnp.full((f_pad, 3, 3), 1e9, tris.dtype)], axis=0
+    ).reshape(-1, face_chunk, 3, 3)
 
-    def one(p):
-        a = tris[:, 0] - p
-        b = tris[:, 1] - p
-        c = tris[:, 2] - p
-        la = jnp.linalg.norm(a, axis=-1)
-        lb = jnp.linalg.norm(b, axis=-1)
-        lc = jnp.linalg.norm(c, axis=-1)
-        num = jnp.sum(a * jnp.cross(b, c), axis=-1)
-        den = (
-            la * lb * lc
-            + jnp.sum(a * b, axis=-1) * lc
-            + jnp.sum(b * c, axis=-1) * la
-            + jnp.sum(c * a, axis=-1) * lb
-        )
-        wind = jnp.sum(2.0 * jnp.arctan2(num, den)) / (4.0 * jnp.pi)
-        return wind > 0.5
+    def point_chunk_fn(pc):  # (C, 3)
+        @jax.checkpoint
+        def face_scan(wind, tri_tile):
+            a = tri_tile[None, :, 0] - pc[:, None]  # (C, T, 3)
+            b = tri_tile[None, :, 1] - pc[:, None]
+            c = tri_tile[None, :, 2] - pc[:, None]
+            la = jnp.linalg.norm(a, axis=-1)
+            lb = jnp.linalg.norm(b, axis=-1)
+            lc = jnp.linalg.norm(c, axis=-1)
+            num = jnp.sum(a * jnp.cross(b, c), axis=-1)
+            den = (
+                la * lb * lc
+                + jnp.sum(a * b, axis=-1) * lc
+                + jnp.sum(b * c, axis=-1) * la
+                + jnp.sum(c * a, axis=-1) * lb
+            )
+            return wind + jnp.sum(2.0 * jnp.arctan2(num, den), axis=-1), None
+
+        wind, _ = jax.lax.scan(face_scan, jnp.zeros((pc.shape[0],)), tris)
+        return wind / (4.0 * jnp.pi) > 0.5
 
     n = points.shape[0]
     pad = (-n) % chunk_size
     pts = jnp.pad(points, ((0, pad), (0, 0)))
-    out = jax.lax.map(jax.vmap(one), pts.reshape(-1, chunk_size, 3))
+    out = jax.lax.map(point_chunk_fn, pts.reshape(-1, chunk_size, 3))
     return out.reshape(-1)[:n]
 
 

@@ -108,6 +108,7 @@ def signed_distance(
     ).reshape(-1, face_chunk, 3, 3)
 
     def point_chunk_fn(pc):  # (C, 3)
+        @jax.checkpoint
         def face_scan(carry, tri_tile):  # tri_tile: (face_chunk, 3, 3)
             min_d2, wind = carry
             d2 = jax.vmap(
@@ -193,38 +194,69 @@ def ray_mesh_intersect(
     faces: jnp.ndarray,  # (F, 3)
     soft_tau: float = 0.0,
     chunk_size: int = 256,
+    face_chunk: int = 8192,
 ) -> dict:
-    """Differentiable front-hit depth per ray (Moller-Trumbore over all faces).
+    """Differentiable front-hit depth per ray (Moller-Trumbore).
 
-    Returns {"t": (R,) depth (inf if miss), "hit": (R,) bool,
+    Returns {"t": (R,) depth (1e10 if miss), "hit": (R,) bool,
     "t_soft": softmin-blended depth when soft_tau > 0}.
-    Gradients flow to `verts` — this is the sparse-pixel replacement for the
-    depth-order loss rasterization.
+    Gradients flow to `verts`. Tiled over rays AND faces with running
+    (min, streaming-logsumexp) carries so peak memory stays
+    chunk_size x face_chunk for arbitrarily large learned meshes.
     """
-    tris = verts[faces]  # (F,3,3)
-    v0, e1, e2 = tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]
-
     BIG = 1e10  # finite miss sentinel (inf poisons reverse-mode through where)
+    NEG = -1e30
 
-    def one_ray(o, d):
-        pvec = jnp.cross(jnp.broadcast_to(d, e2.shape), e2)
-        det = jnp.sum(e1 * pvec, axis=-1)
-        nondegenerate = jnp.abs(det) > 1e-9
-        det_safe = jnp.where(nondegenerate, det, 1.0)
-        inv_det = jnp.where(nondegenerate, 1.0 / det_safe, 0.0)
-        tvec = o - v0
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, e1)
-        v = jnp.sum(d * qvec, axis=-1) * inv_det
-        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-        valid = nondegenerate & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-6)
-        t_masked = jnp.where(valid, t, BIG)
-        t_min = jnp.min(t_masked)
+    F = faces.shape[0]
+    f_pad = (-F) % face_chunk
+    tris = verts[faces]
+    tris = jnp.concatenate(
+        [tris, jnp.full((f_pad, 3, 3), 1e9, tris.dtype)], axis=0
+    ).reshape(-1, face_chunk, 3, 3)
+
+    def ray_chunk_fn(oc, dc):  # (C, 3) each
+        C = oc.shape[0]
+
+        @jax.checkpoint
+        def face_scan(carry, tri_tile):
+            t_min, m, s, ts = carry
+            v0 = tri_tile[None, :, 0]  # (1, T, 3)
+            e1 = tri_tile[None, :, 1] - v0
+            e2 = tri_tile[None, :, 2] - v0
+            pvec = jnp.cross(dc[:, None, :], e2)
+            det = jnp.sum(e1 * pvec, axis=-1)  # (C, T)
+            nondeg = jnp.abs(det) > 1e-9
+            inv_det = jnp.where(nondeg, 1.0 / jnp.where(nondeg, det, 1.0), 0.0)
+            tvec = oc[:, None, :] - v0
+            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, e1)
+            v = jnp.sum(dc[:, None, :] * qvec, axis=-1) * inv_det
+            t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+            valid = nondeg & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-6)
+            t_masked = jnp.where(valid, t, BIG)
+            t_min = jnp.minimum(t_min, jnp.min(t_masked, axis=-1))
+            if soft_tau > 0:
+                # streaming logsumexp for the softmin blend
+                logit = jnp.where(valid, -t / soft_tau, NEG)
+                tile_m = jnp.max(logit, axis=-1)
+                new_m = jnp.maximum(m, tile_m)
+                scale = jnp.exp(m - new_m)
+                e = jnp.exp(logit - new_m[:, None])
+                s_new = s * scale + jnp.sum(e, axis=-1)
+                ts_new = ts * scale + jnp.sum(e * jnp.where(valid, t, 0.0), axis=-1)
+                return (t_min, new_m, s_new, ts_new), None
+            return (t_min, m, s, ts), None
+
+        init = (
+            jnp.full((C,), BIG),
+            jnp.full((C,), NEG),
+            jnp.zeros((C,)),
+            jnp.zeros((C,)),
+        )
+        (t_min, m, s, ts), _ = jax.lax.scan(face_scan, init, tris)
         hit = t_min < BIG * 0.5
         if soft_tau > 0:
-            w = jax.nn.softmax(jnp.where(valid, -t / soft_tau, -1e9))
-            t_soft = jnp.sum(w * jnp.where(valid, t, 0.0))
-            t_soft = jnp.where(hit, t_soft, 0.0)
+            t_soft = jnp.where(hit & (s > 0), ts / jnp.maximum(s, 1e-30), 0.0)
         else:
             t_soft = jnp.where(hit, t_min, 0.0)
         return t_min, hit, t_soft
@@ -233,9 +265,7 @@ def ray_mesh_intersect(
     pad = (-n) % chunk_size
     o = jnp.pad(ray_o, ((0, pad), (0, 0))).reshape(-1, chunk_size, 3)
     d = jnp.pad(ray_d, ((0, pad), (0, 0))).reshape(-1, chunk_size, 3)
-    t, hit, t_soft = jax.lax.map(
-        lambda od: jax.vmap(one_ray)(od[0], od[1]), (o, d)
-    )
+    t, hit, t_soft = jax.lax.map(lambda od: ray_chunk_fn(od[0], od[1]), (o, d))
     return {
         "t": t.reshape(-1)[:n],
         "hit": hit.reshape(-1)[:n],
