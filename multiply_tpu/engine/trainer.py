@@ -27,12 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..body.params import BodyParamTable
-from ..models.loss import LossConfig, total_loss
-from ..models.renderer import MultiplyRenderer, RenderInputs
+from ..models.loss import LossConfig
+from ..models.renderer import MultiplyRenderer
 from ..ops.mesh_ops import sdf_grid
 from ..utils.cameras import get_camera_params
 from .instance_masks import run_instance_mask_stage
-from .mesh_export import generate_mesh, save_ply
+from .mesh_export import generate_mesh
 from .optim import adam_init, adam_update
 from .pose_losses import (
     depth_loss_schedule,

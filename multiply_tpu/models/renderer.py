@@ -23,7 +23,6 @@ redesign relative to the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax
