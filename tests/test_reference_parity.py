@@ -1,0 +1,383 @@
+"""Golden parity tests against the reference implementation itself.
+
+The reference repo (/root/reference, pure-PyTorch on CPU for these modules)
+is imported directly and fed the same inputs as our JAX implementations:
+
+  * lib/smpl/lbs.py           -> multiply_tpu.body.smpl (rodrigues, lbs)
+  * lib/model/embedders.py    -> multiply_tpu.ops.embedders
+  * lib/model/density.py      -> multiply_tpu.ops.density
+  * lib/model/networks.py     -> multiply_tpu.models.networks (forward with
+                                 ported weights + geometric-init statistics)
+  * lib/model/ray_sampler.py  -> multiply_tpu.models.ray_sampler (full
+                                 ErrorBoundSampler z_vals trajectory on an
+                                 analytic sphere SDF, eval mode)
+
+Skips cleanly when the reference isn't mounted.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/code"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not mounted at /root/reference"
+)
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def ref_on_path():
+    """Make `lib.*` importable and neuter the reference's hardcoded .cuda()."""
+    sys.path.insert(0, REF)
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    yield
+    torch.Tensor.cuda = orig_cuda
+    sys.path.remove(REF)
+
+
+class Opt(dict):
+    """Attribute-style config shim for the reference modules."""
+
+    __getattr__ = dict.__getitem__
+
+
+def t(x):
+    return torch.as_tensor(np.asarray(x), dtype=torch.float32)
+
+
+# ---------------------------------------------------------------------------
+# SMPL LBS
+# ---------------------------------------------------------------------------
+
+
+def test_rodrigues_matches_reference():
+    from lib.smpl.lbs import batch_rodrigues
+
+    from multiply_tpu.body.smpl import rodrigues
+
+    rng = np.random.default_rng(0)
+    aa = rng.normal(0, 0.8, size=(50, 3)).astype(np.float32)
+    aa[0] = 0.0  # exact zero pose
+    ref = batch_rodrigues(t(aa)).numpy()
+    ours = np.asarray(rodrigues(jnp.asarray(aa)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_lbs_matches_reference():
+    from lib.smpl.lbs import lbs as ref_lbs
+
+    from multiply_tpu.body.smpl import SMPL_PARENTS, lbs, synthetic_body_model
+
+    model = synthetic_body_model()
+    rng = np.random.default_rng(1)
+    betas = rng.normal(0, 1, size=(10,)).astype(np.float32)
+    pose = rng.normal(0, 0.4, size=(72,)).astype(np.float32)
+
+    ref_verts, ref_joints, ref_T, ref_W, ref_A = ref_lbs(
+        t(betas)[None],
+        t(pose)[None],
+        t(model.v_template)[None],
+        t(model.shapedirs),
+        t(model.posedirs),
+        t(model.joint_regressor),
+        torch.as_tensor(np.asarray(SMPL_PARENTS), dtype=torch.long),
+        t(model.lbs_weights),
+    )
+
+    out = lbs(model, jnp.asarray(betas), jnp.asarray(pose))
+    np.testing.assert_allclose(np.asarray(out["verts"]), ref_verts[0].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["joints"]), ref_joints[0].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["T"]), ref_T[0].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["A"]), ref_A[0].numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["W"]), ref_W[0].numpy(), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Embedder / density
+# ---------------------------------------------------------------------------
+
+
+def test_embedder_matches_reference():
+    from lib.model.embedders import get_embedder
+
+    from multiply_tpu.ops.embedders import embedding_dim, positional_encoding
+
+    for multires, d in [(6, 3), (10, 4), (4, 3)]:
+        embed_fn, out_dim = get_embedder(multires, input_dims=d)
+        assert embedding_dim(multires, d) == out_dim
+        x = np.random.default_rng(2).normal(0, 1, size=(17, d)).astype(np.float32)
+        ref = embed_fn(t(x)).numpy()
+        ours = np.asarray(positional_encoding(jnp.asarray(x), multires))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_laplace_density_matches_reference():
+    from lib.model.density import LaplaceDensity
+
+    from multiply_tpu.ops.density import laplace_beta, laplace_density
+
+    ref_density = LaplaceDensity(params_init={"beta": 0.1}, beta_min=1e-4)
+    sdf = np.linspace(-2, 2, 101).astype(np.float32)
+    beta = float(ref_density.get_beta().detach())
+    assert np.isclose(beta, float(laplace_beta(jnp.asarray(0.1), 1e-4)))
+    ref = ref_density(t(sdf)).detach().numpy()
+    ours = np.asarray(laplace_density(jnp.asarray(sdf), jnp.asarray(beta)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Networks: weight-ported forward parity + geometric-init statistics
+# ---------------------------------------------------------------------------
+
+IMPLICIT_OPT = dict(
+    d_in=3, d_out=1, dims=[64, 64, 64, 64], feature_vector_size=32,
+    skip_in=[2], multires=6, cond="smpl", init="geometry", bias=0.6,
+    weight_norm=True, embedder_mode="fourier",
+)
+
+
+def _ref_implicit(opt_dict):
+    from lib.model.networks import ImplicitNet as RefImplicitNet
+
+    torch.manual_seed(0)
+    net = RefImplicitNet(Opt(opt_dict))
+    net.eval()
+    return net
+
+
+def _materialize(lin):
+    """Effective (weight, bias) of a (possibly weight-normed) torch Linear."""
+    if hasattr(lin, "weight_v"):
+        torch.nn.utils.remove_weight_norm(lin)
+    return lin.weight.detach().numpy(), lin.bias.detach().numpy()
+
+
+def _port_implicit_weights(ref_net, our_params, num_layers):
+    params = jax.tree.map(lambda x: x, our_params)  # copy
+    for l in range(num_layers - 1):
+        w, b = _materialize(getattr(ref_net, f"lin{l}"))
+        kernel = jnp.asarray(w.T)  # torch (out,in) -> flax (in,out)
+        leaf = dict(params["params"][f"lin{l}"])
+        assert leaf["kernel"].shape == kernel.shape, (l, leaf["kernel"].shape, kernel.shape)
+        leaf["kernel"] = kernel
+        leaf["bias"] = jnp.asarray(b)
+        if "g" in leaf:
+            leaf["g"] = jnp.linalg.norm(kernel, axis=0)
+        params["params"][f"lin{l}"] = leaf
+    return params
+
+
+def test_implicit_net_forward_matches_reference():
+    from multiply_tpu.models.networks import ImplicitNet
+
+    ref_net = _ref_implicit(IMPLICIT_OPT)
+    ours = ImplicitNet(
+        d_in=3, d_out=1, dims=(64,) * 4, feature_vector_size=32,
+        skip_in=(2,), multires=6, cond="smpl", init_mode="geometry",
+        bias=0.6, weight_norm=True,
+    )
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, size=(23, 3)).astype(np.float32)
+    cond_pose = rng.normal(0, 0.3, size=(69,)).astype(np.float32)
+
+    params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(cond_pose))
+    num_layers = len(IMPLICIT_OPT["dims"]) + 2
+    params = _port_implicit_weights(ref_net, params, num_layers)
+
+    with torch.no_grad():
+        ref_out = ref_net(t(x)[None], {"smpl": t(cond_pose)[None]}).numpy()[0]
+    our_out = np.asarray(ours.apply(params, jnp.asarray(x), jnp.asarray(cond_pose)))
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-5)
+
+
+def test_rendering_net_forward_matches_reference():
+    from lib.model.networks import RenderingNet as RefRenderingNet
+
+    from multiply_tpu.models.networks import RenderingNet
+
+    opt = Opt(
+        mode="pose_no_view", d_in=14, d_out=3, dims=[32, 32],
+        feature_vector_size=32, multires_view=-1, weight_norm=True,
+    )
+    torch.manual_seed(1)
+    ref_net = RefRenderingNet(opt)
+    ref_net.eval()
+
+    ours = RenderingNet(
+        mode="pose_no_view", d_in=14, d_out=3, dims=(32, 32),
+        feature_vector_size=32, multires_view=-1, weight_norm=True,
+    )
+    rng = np.random.default_rng(4)
+    n = 19
+    pts = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    nrm = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    pose = rng.normal(0, 0.3, (69,)).astype(np.float32)
+    feat = rng.normal(0, 1, (n, 32)).astype(np.float32)
+
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(nrm), None,
+        jnp.asarray(pose), jnp.asarray(feat),
+    )
+    params = jax.tree.map(lambda x: x, params)
+    for l in range(3):
+        w, b = _materialize(getattr(ref_net, f"lin{l}"))
+        leaf = dict(params["params"][f"lin{l}"])
+        leaf["kernel"] = jnp.asarray(w.T)
+        leaf["bias"] = jnp.asarray(b)
+        if "g" in leaf:
+            leaf["g"] = jnp.linalg.norm(jnp.asarray(w.T), axis=0)
+        params["params"][f"lin{l}"] = leaf
+    wp, bp = ref_net.lin_pose.weight.detach().numpy(), ref_net.lin_pose.bias.detach().numpy()
+    params["params"]["lin_pose"] = {"kernel": jnp.asarray(wp.T), "bias": jnp.asarray(bp)}
+
+    with torch.no_grad():
+        ref_out = ref_net(t(pts), t(nrm), None, t(pose)[None], t(feat)).numpy()
+    our_out = np.asarray(
+        ours.apply(params, jnp.asarray(pts), jnp.asarray(nrm), None,
+                   jnp.asarray(pose), jnp.asarray(feat))
+    )
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-6)
+
+
+def test_geometric_init_statistics_match_reference():
+    """Layer-wise weight stats of our geometric init vs networks.py:55-76:
+    same deterministic constants (final-layer mean/bias, zeroed PE columns)
+    and matching random-layer standard deviations."""
+    from multiply_tpu.models.networks import ImplicitNet
+
+    ref_net = _ref_implicit(IMPLICIT_OPT)
+    ours = ImplicitNet(
+        d_in=3, d_out=1, dims=(64,) * 4, feature_vector_size=32,
+        skip_in=(2,), multires=6, cond="smpl", init_mode="geometry",
+        bias=0.6, weight_norm=True,
+    )
+    x = np.zeros((4, 3), np.float32)
+    params = ours.init(jax.random.PRNGKey(7), jnp.asarray(x), jnp.zeros((69,)))["params"]
+    num_layers = len(IMPLICIT_OPT["dims"]) + 2
+
+    for l in range(num_layers - 1):
+        w_ref, b_ref = _materialize(getattr(ref_net, f"lin{l}"))
+        k = np.asarray(params[f"lin{l}"]["kernel"]).T  # (out, in) like torch
+        b = np.asarray(params[f"lin{l}"]["bias"])
+        assert k.shape == w_ref.shape, (l, k.shape, w_ref.shape)
+
+        if l == num_layers - 2:  # final: mean sqrt(pi)/sqrt(in), bias -0.6
+            np.testing.assert_allclose(k.mean(), w_ref.mean(), rtol=1e-3)
+            np.testing.assert_allclose(b, b_ref, atol=1e-7)
+        elif l == 0:  # PE + cond columns zeroed, xyz columns ~N(0, sqrt2/sqrt(out))
+            assert np.all(k[:, 3:] == 0.0) and np.all(w_ref[:, 3:] == 0.0)
+            np.testing.assert_allclose(
+                k[:, :3].std(), w_ref[:, :3].std(), rtol=0.25
+            )
+            np.testing.assert_allclose(b, b_ref, atol=1e-7)
+        elif l in IMPLICIT_OPT["skip_in"]:  # PE block of the skip input zeroed
+            n_zero = 3 * (1 + 2 * IMPLICIT_OPT["multires"]) - 3
+            assert np.all(k[:, -n_zero:] == 0.0) and np.all(w_ref[:, -n_zero:] == 0.0)
+            np.testing.assert_allclose(
+                k[:, :-n_zero].std(), w_ref[:, :-n_zero].std(), rtol=0.25
+            )
+        else:
+            np.testing.assert_allclose(k.std(), w_ref.std(), rtol=0.25)
+            np.testing.assert_allclose(b, b_ref, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# ErrorBoundSampler trajectory
+# ---------------------------------------------------------------------------
+
+
+class _NetStub:
+    def eval(self):
+        pass
+
+    def train(self):
+        pass
+
+
+class _MockModel:
+    """Minimal model the reference sampler drives: analytic sphere SDF."""
+
+    training = False
+
+    def __init__(self, center, radius, beta):
+        from lib.model.density import LaplaceDensity
+
+        self.density = LaplaceDensity(params_init={"beta": beta}, beta_min=1e-4)
+        self.foreground_implicit_network_list = [_NetStub()]
+        self.center = torch.as_tensor(center, dtype=torch.float32)
+        self.radius = radius
+
+    def sdf_func_with_smpl_deformer(self, points, cond, smpl_tfs, smpl_verts=None,
+                                    person_id=0):
+        sdf = torch.linalg.norm(points - self.center, dim=-1) - self.radius
+        return sdf, None, None
+
+
+def test_error_bound_sampler_matches_reference():
+    # lib.utils.rend_util imports skimage/trimesh at module scope but the
+    # sampler path never calls them — stub what this env lacks
+    import types
+
+    for mod in ("skimage", "trimesh"):
+        if mod not in sys.modules:
+            try:
+                __import__(mod)
+            except ImportError:
+                sys.modules[mod] = types.ModuleType(mod)
+    from lib.model.ray_sampler import ErrorBoundSampler as RefSampler
+
+    from multiply_tpu.models.ray_sampler import SamplerConfig, error_bound_sample
+
+    center, radius = np.array([0.0, 0.0, 0.5], np.float32), 0.6
+    cfg = SamplerConfig(
+        near=0.0, N_samples=16, N_samples_eval=32, N_samples_extra=8,
+        eps=1e-6,  # tiny eps: no ray converges early, both run all rounds
+        beta_iters=6, max_total_iters=3, N_samples_inverse_sphere=32,
+        add_tiny=1e-6, scene_bounding_sphere=3.0,
+    )
+    ref_sampler = RefSampler(
+        scene_bounding_sphere=3.0, near=0.0, N_samples=16, N_samples_eval=32,
+        N_samples_extra=8, eps=1e-6, beta_iters=6, max_total_iters=3,
+        inverse_sphere_bg=True, N_samples_inverse_sphere=32, add_tiny=1e-6,
+    )
+    model = _MockModel(center, radius, beta=0.1)
+
+    R = 6
+    rng = np.random.default_rng(5)
+    cam = np.array([0.0, 0.0, -2.0], np.float32)
+    targets = center + rng.normal(0, 0.4, size=(R, 3)).astype(np.float32)
+    dirs = targets - cam
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    (ref_z, ref_z_bg), _ = ref_sampler.get_z_vals(
+        t(dirs), torch.broadcast_to(t(cam), (R, 3)), model,
+        cond=None, smpl_tfs=None, eval_mode=True, smpl_verts=None, person_id=0,
+    )
+
+    beta0 = float(model.density.get_beta().detach())
+    out = error_bound_sample(
+        cfg,
+        lambda pts: jnp.linalg.norm(pts - jnp.asarray(center), axis=-1) - radius,
+        jnp.broadcast_to(jnp.asarray(cam), (R, 3)),
+        jnp.asarray(dirs),
+        jnp.asarray(beta0),
+        key=None,
+    )
+    ours_z = np.asarray(out["z_vals"])
+
+    assert ours_z.shape == tuple(ref_z.shape), (ours_z.shape, ref_z.shape)
+    np.testing.assert_allclose(ours_z, ref_z.numpy(), atol=2e-3)
+    # background inverse-sphere samples: same deterministic grid
+    np.testing.assert_allclose(
+        np.asarray(out["z_bg"]), ref_z_bg.numpy(), atol=1e-6
+    )
