@@ -25,9 +25,17 @@ def main():
     ap.add_argument("--data_root", default=None)
     ap.add_argument("--run_dir", default=None)
     ap.add_argument("--ckpt", default=None, help="checkpoint path (default: latest)")
-    ap.add_argument("--mode", default="default", choices=["default", "free_view"])
+    ap.add_argument(
+        "--mode", default="default", choices=["default", "free_view", "novel_view"]
+    )
     ap.add_argument("--frames", type=int, default=None, help="limit frames")
     ap.add_argument("--export_meshes", action="store_true")
+    ap.add_argument("--novel_view", type=int, default=None,
+                    help="held-out GT camera id (novel_view mode)")
+    ap.add_argument("--current_view", type=int, default=None,
+                    help="GT camera id the training camera corresponds to")
+    ap.add_argument("--gt_cameras", default=None,
+                    help="path to rgb_cameras.npz (ids/intrinsics/extrinsics)")
     args = ap.parse_args()
 
     from multiply_tpu.config import load_config
@@ -88,6 +96,10 @@ def main():
         trainer.renderer, trainer.person_state, servers, pixel_per_batch=pixel_per_batch
     )
 
+    novel_cams = None
+    if args.mode == "novel_view":
+        novel_cams = _resolve_novel_cameras(args, conf, seq)
+
     n_frames = args.frames or len(seq)
     out_dir = os.path.join(run_dir, "test")
     os.makedirs(out_dir, exist_ok=True)
@@ -95,6 +107,13 @@ def main():
         item = seq.get_eval_item(i)
         if args.mode == "free_view":
             item = _orbit_camera(item, angle_deg=i * (360.0 / max(n_frames, 1)))
+        elif args.mode == "novel_view":
+            cam = novel_cams[i]
+            item = dict(item)
+            item["P"] = cam["P"]
+            item["intrinsics"] = np.asarray(cam["intrinsics"], np.float32)
+            item["pose"] = np.asarray(cam["pose"], np.float32)
+            item.pop("rgb", None)
         merged = ev.render_image(
             trainer.ts.params["net"], trainer.ts.params["body"], item,
             epoch=trainer.epoch, person_state=trainer.person_state,
@@ -115,6 +134,37 @@ def main():
                 fns, trainer.ts.params["body"], trainer.person_state.deformer,
                 i, float(seq.scale), out_dir,
             )
+
+
+def _resolve_novel_cameras(args, conf, seq) -> list[dict]:
+    """Per-frame cameras for the held-out GT view (reference test.py +
+    Hi4D.py:387-431). CLI flags override dataset.test config keys
+    (novel_view, current_view, GT_DIR/pair/action)."""
+    from multiply_tpu.data.dataset import novel_view_cameras
+
+    test_opt = conf.dataset.get("test", {})
+    nv = args.novel_view if args.novel_view is not None else test_opt.get("novel_view")
+    cv = (
+        args.current_view
+        if args.current_view is not None
+        else test_opt.get("current_view")
+    )
+    path = args.gt_cameras
+    if path is None and all(k in test_opt for k in ("GT_DIR", "pair", "action")):
+        path = os.path.join(
+            str(test_opt["GT_DIR"]), str(test_opt["pair"]), str(test_opt["action"]),
+            "cameras", "rgb_cameras.npz",
+        )
+    if nv is None or cv is None or path is None:
+        raise SystemExit(
+            "novel_view mode needs --novel_view, --current_view and --gt_cameras "
+            "(or dataset.test.{novel_view,current_view,GT_DIR,pair,action})"
+        )
+    if not hasattr(seq, "scale_mats"):
+        raise SystemExit("novel_view mode needs a dataset with cameras_normalize.npz")
+    gt = dict(np.load(path))
+    print(f"novel view {nv} (training camera = GT view {cv}) from {path}")
+    return novel_view_cameras(seq, gt, current_view=int(cv), novel_view=int(nv))
 
 
 def _orbit_camera(item: dict, angle_deg: float) -> dict:

@@ -117,3 +117,41 @@ def test_bilinear_sample_exact_at_integers():
     img = np.arange(12, dtype=np.float32).reshape(3, 4)
     vals = bilinear_sample(img, np.asarray([0.0, 1.0, 1.5]), np.asarray([0.0, 2.0, 1.5]))
     np.testing.assert_allclose(vals, [0.0, 6.0, 7.5])
+
+
+def test_novel_view_cameras(fake_root):
+    """Hi4D.py:387-431 parity: when the training camera equals the GT
+    'current' view, the derived camera must be exactly the GT target view
+    (re-normalized by the scene scale_mat)."""
+    from multiply_tpu.data.dataset import novel_view_cameras
+    from multiply_tpu.utils.cameras import load_K_Rt_from_P
+
+    root, (F, P, H, W) = fake_root
+    seq = Hi4DSequence(root, num_sample=32, using_sam=False)
+
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1]])
+    E_cur = np.eye(4)[:3].copy()
+    E_cur[:3, 3] = [0, 0, 4.0]  # == the fake training camera
+    # held-out view: rotated 90 deg about y, different focal
+    c, s = 0.0, 1.0
+    E_tgt = np.array([[c, 0, s, 0.5], [0, 1, 0, 0.0], [-s, 0, c, 4.0]])
+    K_tgt = np.array([[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]])
+    gt = {
+        "ids": np.array([4, 88]),
+        "intrinsics": np.stack([K, K_tgt]),
+        "extrinsics": np.stack([E_cur, E_tgt]),
+    }
+
+    cams = novel_view_cameras(seq, gt, current_view=4, novel_view=88)
+    assert len(cams) == F
+    scale_mat = np.diag([2.0, 2.0, 2.0, 1.0])
+    expected = np.eye(4)
+    expected[:3, :4] = K_tgt @ E_tgt  # scale_factor == 1, Rab == I
+    expected = expected @ scale_mat
+    np.testing.assert_allclose(cams[0]["P"], expected.astype(np.float32), atol=1e-4)
+    # decomposition is consistent with the returned P
+    intr, pose = load_K_Rt_from_P(cams[0]["P"][:3, :4])
+    np.testing.assert_allclose(intr[:3, :3], cams[0]["intrinsics"], atol=1e-4)
+    np.testing.assert_allclose(pose, cams[0]["pose"], atol=1e-4)
+    # camera center moved off the +z axis (it is a genuinely new view)
+    assert abs(cams[0]["pose"][0, 3]) > 0.1
