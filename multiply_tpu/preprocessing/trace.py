@@ -1,0 +1,182 @@
+"""TRACE tracker output -> TraceInputs conversion.
+
+Parity target: ait_viewer_vis/aitcamera.py:101-172 — TRACE emits one flat
+array per *detection*; `reorganize_idx` maps detections to source frames and
+`track_ids` to persons. The reformat produces [person, frame, ...] arrays
+(the reference also re-runs SMPL to store verts; downstream stages recompute
+SMPL anyway so we skip that).
+
+The converter then builds the pipeline's `TraceInputs`, preferring externally
+supplied COCO-17 keypoints (ViTPose, matched to tracks via
+matching.match_detections_to_tracks) and falling back to TRACE's own
+projected joints (`pj2d_org`).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import cv2
+import numpy as np
+
+from .matching import keypoint_center as _kp_center
+from .matching import match_detections_to_tracks, skeleton_nms
+from .pipeline import TraceInputs
+
+# TRACE/ROMP pj2d_org carries 44 joints: the 24 SMPL joints first, then the
+# extended set (nose/eyes/ears at 24..28, matching our SMPL all-joints
+# layout) — the same indices refine.SMPL_TO_COCO17 uses.
+TRACE_TO_COCO17 = np.asarray(
+    [24, 26, 25, 28, 27, 16, 17, 18, 19, 20, 21, 1, 2, 4, 5, 7, 8]
+)
+
+
+def reformat_trace_output(outputs: dict) -> dict:
+    """Flat per-detection TRACE arrays -> {key: (P, F, ...)} keyed by track.
+
+    Mirrors aitcamera.py:101-121: frames = unique(reorganize_idx) in order,
+    persons = unique(track_ids) in order (the reference assumes ids 1..P and
+    indexes with id-1; rank-of-id is identical there and robust otherwise).
+    """
+    reorganize_idx = np.asarray(outputs["reorganize_idx"]).reshape(-1)
+    track_ids = np.asarray(outputs["track_ids"]).reshape(-1)
+    used_frames = np.unique(reorganize_idx)
+    unique_ids = np.unique(track_ids)
+    frame_of = {int(v): i for i, v in enumerate(used_frames)}
+    person_of = {int(v): i for i, v in enumerate(unique_ids)}
+    P, F = len(unique_ids), len(used_frames)
+
+    def gather(key, trailing):
+        src = np.asarray(outputs[key])
+        out = np.zeros((P, F) + trailing, np.float32)
+        for det in range(len(track_ids)):
+            p = person_of[int(track_ids[det])]
+            f = frame_of[int(reorganize_idx[det])]
+            out[p, f] = src[det]
+        return out
+
+    j3d = np.asarray(outputs["j3d"])
+    pj2d = np.asarray(outputs["pj2d_org"])
+    return {
+        "smpl_thetas": gather("smpl_thetas", (72,)),
+        "smpl_betas": gather("smpl_betas", (np.asarray(outputs["smpl_betas"]).shape[-1],)),
+        "cam_trans": gather("cam_trans", (3,)),
+        "joints": gather("j3d", j3d.shape[1:]),
+        "pj2d_org": gather("pj2d_org", pj2d.shape[1:]),
+    }
+
+
+def load_trace_results(path: str) -> dict:
+    """Load either the raw TRACE npz (key 'outputs') or the reformatted npz
+    (key 'results', as written by the reference's aitcamera.py)."""
+    data = np.load(path, allow_pickle=True)
+    if "results" in data.files:
+        return dict(data["results"][()])
+    if "outputs" in data.files:
+        return reformat_trace_output(dict(data["outputs"][()]))
+    return {k: data[k] for k in data.files}
+
+
+def _keypoints_from_pj2d(pj2d: np.ndarray) -> np.ndarray:
+    """(P, F, J>=29, 2|3) TRACE projected joints -> (F, P, 17, 3)."""
+    P, F = pj2d.shape[:2]
+    kp = np.zeros((F, P, 17, 3), np.float32)
+    xy = pj2d[..., :2]
+    kp[..., :2] = np.moveaxis(xy[:, :, TRACE_TO_COCO17], 0, 1)
+    # TRACE reports no per-joint confidence in pj2d_org; treat projected
+    # joints as reliable, except joints at the invalid (-2, -2)-ish sentinel
+    valid = np.moveaxis(
+        np.all(np.abs(xy[:, :, TRACE_TO_COCO17]) < 1e5, axis=-1)
+        & np.any(xy[:, :, TRACE_TO_COCO17] != 0, axis=-1),
+        0,
+        1,
+    )
+    kp[..., 2] = valid.astype(np.float32)
+    return kp
+
+
+def load_keypoint_npys(
+    kp_dir: str,
+    tracked_kp: np.ndarray,  # (F, P, 17, 3) fallback + matching anchors
+    nms_center_px: float = 50.0,
+    nms_kp_px: float = 30.0,
+    gate_px: float = 200.0,
+) -> np.ndarray:
+    """Per-frame detection npys -> per-track keypoints.
+
+    Each `<frame>.npy` holds (D, 17, 3) detections (ViTPose layout,
+    vitpose_trace.py output). NMS drops duplicates; Hungarian matching by
+    confidence-weighted center assigns detections to tracked persons
+    (vitpose_trace.py:206-269). Unmatched persons keep the fallback.
+    """
+    F, P = tracked_kp.shape[:2]
+    out = tracked_kp.copy()
+    files = sorted(glob.glob(os.path.join(kp_dir, "*.npy")))
+    for path in files:
+        f = int(os.path.splitext(os.path.basename(path))[0])
+        if f >= F:
+            continue
+        dets = np.asarray(np.load(path), np.float32)
+        if dets.ndim == 2:
+            dets = dets[None]
+        kept = skeleton_nms(
+            list(dets), center_thresh=nms_center_px, kp_thresh=nms_kp_px
+        )
+        centers = np.stack([_kp_center(tracked_kp[f, p]) for p in range(P)])
+        assign = match_detections_to_tracks(kept, centers, gate_px=gate_px)
+        for track_idx, det_idx in enumerate(assign):
+            if det_idx is not None:
+                out[f, track_idx] = kept[det_idx]
+    return out
+
+
+def trace_inputs_from_files(
+    trace_npz: str,
+    frames_dir: str,
+    K: np.ndarray | None = None,
+    genders: list[str] | None = None,
+    keypoints_dir: str | None = None,
+    start: int = 0,
+    end: int | None = None,
+    skip: int = 1,
+) -> TraceInputs:
+    """Assemble TraceInputs from a TRACE npz + extracted frames (+ optional
+    ViTPose keypoint npys)."""
+    results = load_trace_results(trace_npz)
+    thetas = np.asarray(results["smpl_thetas"], np.float32)  # (P, F, 72)
+    betas_pf = np.asarray(results["smpl_betas"], np.float32)[..., :10]
+    cam_trans = np.asarray(results["cam_trans"], np.float32)
+    P, F_trace = thetas.shape[:2]
+
+    frame_files = sorted(
+        glob.glob(os.path.join(frames_dir, "*.png"))
+        + glob.glob(os.path.join(frames_dir, "*.jpg"))
+    )
+    end = min(end if end is not None else F_trace, F_trace, len(frame_files))
+    sel = list(range(start, end, skip))
+    images = [
+        cv2.imread(frame_files[f], cv2.IMREAD_COLOR)[:, :, ::-1] for f in sel
+    ]
+
+    if K is None:
+        H, W = images[0].shape[:2]
+        focal = float(max(H, W))  # reference preprocessing default (:112-115)
+        K = np.array(
+            [[focal, 0.0, W // 2], [0.0, focal, H // 2], [0.0, 0.0, 1.0]],
+            np.float32,
+        )
+
+    kp = _keypoints_from_pj2d(results["pj2d_org"])[sel]
+    if keypoints_dir is not None:
+        kp = load_keypoint_npys(keypoints_dir, kp)
+
+    return TraceInputs(
+        images=images,
+        poses=np.moveaxis(thetas, 0, 1)[sel],
+        betas=betas_pf.mean(axis=1),  # per-person mean shape over frames
+        trans=np.moveaxis(cam_trans, 0, 1)[sel],
+        keypoints_2d=kp,
+        genders=list(genders) if genders is not None else ["neutral"] * P,
+        K=np.asarray(K, np.float32),
+    )

@@ -111,3 +111,122 @@ def test_full_pipeline_emits_training_dir(tmp_path):
     # masks must be non-trivial (SMPL rendering produced coverage)
     frame = seq.load_frame(0)
     assert frame["mask_union"].sum() > 20
+
+
+def _raw_trace_npz(path, inputs, servers, frame_offset=5):
+    """Write a raw TRACE-format npz (flat per-detection arrays +
+    reorganize_idx/track_ids) from TraceInputs ground truth, with detection
+    order shuffled within frames to exercise the track-id reorg."""
+    from multiply_tpu.preprocessing.trace import TRACE_TO_COCO17
+
+    F, P = inputs.poses.shape[:2]
+    rng = np.random.default_rng(3)
+    reorganize_idx, track_ids = [], []
+    thetas, betas, cam, j3d, pj2d = [], [], [], [], []
+    for f in range(F):
+        for p in rng.permutation(P):
+            reorganize_idx.append(frame_offset + f)  # arbitrary frame ids
+            track_ids.append(int(p) + 1)  # TRACE ids are 1-based
+            thetas.append(inputs.poses[f, p])
+            betas.append(inputs.betas[p])
+            cam.append(inputs.trans[f, p])
+            j3d.append(np.zeros((44, 3), np.float32))
+            pj = np.zeros((44, 2), np.float32)
+            pj[np.asarray(TRACE_TO_COCO17)] = inputs.keypoints_2d[f, p, :, :2]
+            pj2d.append(pj)
+    outputs = {
+        "reorganize_idx": np.asarray(reorganize_idx),
+        "track_ids": np.asarray(track_ids),
+        "smpl_thetas": np.stack(thetas),
+        "smpl_betas": np.stack(betas),
+        "cam_trans": np.stack(cam),
+        "j3d": np.stack(j3d),
+        "pj2d_org": np.stack(pj2d),
+    }
+    np.savez(path, outputs=outputs)
+
+
+def test_trace_reformat_roundtrip(tmp_path):
+    """aitcamera.py:101-172 parity: flat TRACE detections reorganize into
+    [person, frame] arrays keyed by track id, regardless of detection order."""
+    import cv2
+
+    from multiply_tpu.preprocessing.trace import trace_inputs_from_files
+
+    inputs, servers, *_ = make_trace_inputs(F=3, P=2)
+    npz = str(tmp_path / "trace.npz")
+    _raw_trace_npz(npz, inputs, servers)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for f, img in enumerate(inputs.images):
+        cv2.imwrite(str(frames / f"{f:04d}.png"), img)
+
+    got = trace_inputs_from_files(npz, str(frames), K=inputs.K)
+    np.testing.assert_allclose(got.poses, inputs.poses, atol=1e-6)
+    np.testing.assert_allclose(got.trans, inputs.trans, atol=1e-6)
+    np.testing.assert_allclose(got.betas, inputs.betas, atol=1e-6)
+    np.testing.assert_allclose(
+        got.keypoints_2d[..., :2], inputs.keypoints_2d[..., :2], atol=1e-4
+    )
+    assert (got.keypoints_2d[..., 2] > 0).all()
+    assert len(got.images) == 3
+
+
+def test_keypoint_matching_overrides_tracked(tmp_path):
+    """ViTPose npys (multi-detection, shuffled, one duplicate) match to the
+    right tracks via NMS + Hungarian (vitpose_trace.py:206-269)."""
+    from multiply_tpu.preprocessing.trace import load_keypoint_npys
+
+    inputs, *_ = make_trace_inputs(F=2, P=2)
+    tracked = inputs.keypoints_2d
+    kp_dir = tmp_path / "kp"
+    kp_dir.mkdir()
+    rng = np.random.default_rng(0)
+    refined = tracked + 0.0
+    refined[..., :2] += 3.0  # "better" detections, slightly shifted
+    for f in range(2):
+        dup = refined[f, 1].copy()  # low-confidence duplicate of person 1
+        dup[:, :2] += 0.01
+        dup[:, 2] = 0.4
+        dets = [refined[f, 1], refined[f, 0], dup]
+        np.save(str(kp_dir / f"{f:04d}.npy"), np.stack(dets))
+
+    # small synthetic image: persons sit ~20px apart, inside the full-res NMS
+    # defaults — tighten the duplicate thresholds accordingly
+    out = load_keypoint_npys(
+        str(kp_dir), tracked, nms_center_px=2.0, nms_kp_px=2.0
+    )
+    np.testing.assert_allclose(out[0, 0], refined[0, 0], atol=1e-5)
+    np.testing.assert_allclose(out[1, 1], refined[1, 1], atol=1e-5)
+
+
+def test_cli_driver_end_to_end(tmp_path):
+    """python -m multiply_tpu.preprocessing: TRACE npz + frames -> a
+    training directory Hi4DSequence loads (run_preprocessing_multiply.sh
+    stages reformat->mask->refine->final->normalize)."""
+    import cv2
+
+    from multiply_tpu.preprocessing.__main__ import main as preprocess_main
+
+    inputs, servers, *_ = make_trace_inputs(F=2, P=2)
+    npz = str(tmp_path / "trace.npz")
+    _raw_trace_npz(npz, inputs, servers)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for f, img in enumerate(inputs.images):
+        cv2.imwrite(str(frames / f"{f:04d}.png"), img)
+    out_root = str(tmp_path / "data")
+
+    preprocess_main(
+        [
+            "--trace", npz, "--frames", str(frames), "--out", out_root,
+            "--focal", "80", "--center", "40", "30",
+            "--refine_iters", "10", "--scale_factor", "1",
+        ]
+    )
+
+    from multiply_tpu.data.dataset import Hi4DSequence
+
+    seq = Hi4DSequence(out_root, num_sample=16, using_sam=False)
+    assert len(seq) == 2 and seq.num_person == 2
+    assert seq.load_frame(0)["mask_union"].sum() > 20

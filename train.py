@@ -45,6 +45,11 @@ def main():
     ap.add_argument("--max_epochs", type=int, default=None)
     ap.add_argument("--run_dir", default=None)
     ap.add_argument("--is_continue", action="store_true")
+    ap.add_argument(
+        "--profile", type=int, default=0, metavar="N",
+        help="trace N training steps, print the per-HLO-category device-time "
+             "table, write <run_dir>/profile/summary.json, and exit",
+    )
     args = ap.parse_args()
 
     from multiply_tpu.config import load_config
@@ -117,6 +122,14 @@ def main():
         if ckpts:
             print(f"resuming from {ckpts[-1]}")
             trainer.load_checkpoint(ckpts[-1])
+
+    if args.profile:
+        from multiply_tpu.utils.profiling import profile_training_steps
+
+        profile_training_steps(
+            trainer, args.profile, os.path.join(run_dir, "profile")
+        )
+        return
 
     max_epochs = args.max_epochs or conf.get("max_epochs", 10_000)
     trainer.fit(max_epochs, ckpt_dir=ckpt_dir)
