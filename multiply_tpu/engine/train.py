@@ -23,9 +23,16 @@ import jax
 import jax.numpy as jnp
 
 from ..body.params import BodyParamTable
+from ..body.server import smpl_server_forward
 from ..models.loss import LossConfig, total_loss
 from ..models.renderer import MultiplyRenderer, PersonState, RenderInputs
+from ..utils.cameras import get_camera_params
 from .optim import AdamState, adam_init, adam_update, multistep_lr
+from .pose_losses import (
+    interpenetration_loss,
+    sparse_depth_order_loss,
+    sparse_silhouette_loss,
+)
 
 MODE_JOINT = 0
 MODE_POSE_ONLY = 1
@@ -50,6 +57,21 @@ class Batch(NamedTuple):
     smpl_scale: jnp.ndarray  # (P,)
     sam_mask: jnp.ndarray | None = None  # (R, P) logits or None
     mode: jnp.ndarray = jnp.asarray(MODE_JOINT)  # () int
+
+
+class PoseLossBatch(NamedTuple):
+    """Host-extracted mesh payload for the pose-opt step losses
+    (multiply_model.py:195-202): canonical meshes (padded to a common bucket
+    so shapes stay static across frames) plus a SAM-confident pixel sample.
+    The meshes are constants inside the step — gradients flow through the
+    deformer/LBS into the per-frame SMPL params only, like the reference's
+    detached generate_mesh output."""
+
+    verts_c: jnp.ndarray  # (P, V, 3) padded canonical verts
+    faces: jnp.ndarray  # (P, F, 3) padded faces (degenerate 0,0,0 padding)
+    uv: jnp.ndarray  # (M, 2) sampled pixels in the SAM-confident region
+    sam_probs: jnp.ndarray  # (M, P) sigmoid SAM probabilities at those pixels
+    scale_to_full: jnp.ndarray  # () n_valid_pixels / M (sum-loss rescale)
 
 
 def make_lr_factors(params, body_factor: float = 0.1):
@@ -100,6 +122,7 @@ class TrainStep:
         learning_rate: float = 5e-4,
         sched_milestones: tuple[int, ...] = (200, 500),
         sched_factor: float = 0.5,
+        interp_samples: int = 5120,
     ):
         self.renderer = renderer
         self.state = person_state
@@ -107,6 +130,7 @@ class TrainStep:
         self.lr = learning_rate
         self.milestones = tuple(sched_milestones)
         self.gamma = sched_factor
+        self.interp_samples = interp_samples
 
     def init_state(self, key: jax.Array, body_tables: BodyParamTable) -> TrainState:
         """body_tables: stacked-over-persons BodyParamTable."""
@@ -121,7 +145,49 @@ class TrainStep:
 
     # -- loss ----------------------------------------------------------
 
-    def _forward_loss(self, params, person_state, batch: Batch, epoch, key):
+    def _pose_step_losses(
+        self, params, person_state, batch: Batch, pose_batch: PoseLossBatch, key
+    ):
+        """Raw depth-order / silhouette / interpenetration losses on the
+        deformed learned meshes (multiply_model.py:578-736 at step time).
+        Differentiable to the per-frame SMPL pose/shape/translation params."""
+        body: BodyParamTable = params["body"]
+        idx = batch.frame_idx
+        thetas = jax.vmap(lambda t: t.thetas(idx))(body)  # (P, 72)
+        transl = jax.vmap(lambda t: t.transl[idx])(body)
+        betas = jax.vmap(lambda t: t.betas[0])(body)
+
+        ray_d, cam_loc = get_camera_params(pose_batch.uv, batch.pose, batch.intrinsics)
+        ray_o = jnp.broadcast_to(cam_loc, ray_d.shape)
+
+        verts_d, faces_list = [], []
+        for p in range(self.renderer.P):
+            st = jax.tree.map(lambda x: x[p], person_state)
+            smpl_out = smpl_server_forward(
+                st.server, batch.smpl_scale[p], transl[p], thetas[p], betas[p]
+            )
+            vd = st.deformer.forward(pose_batch.verts_c[p], smpl_out["smpl_tfs"])
+            # meshes live in un-normalized (1/scale) space, like the
+            # reference's renderer (multiply_model.py:621)
+            verts_d.append(vd / batch.smpl_scale[p])
+            faces_list.append(pose_batch.faces[p])
+
+        scale0 = batch.smpl_scale[0]
+        d_loss, _ = sparse_depth_order_loss(
+            ray_o / scale0, ray_d, verts_d, faces_list, pose_batch.sam_probs,
+            scale_to_full=pose_batch.scale_to_full,
+        )
+        i_loss = interpenetration_loss(
+            verts_d, faces_list, key, num_samples=self.interp_samples
+        )
+        s_loss = sparse_silhouette_loss(
+            ray_o / scale0, ray_d, verts_d, faces_list, pose_batch.sam_probs
+        )
+        return d_loss, s_loss, i_loss
+
+    def _forward_loss(
+        self, params, person_state, batch: Batch, epoch, key, pose_batch=None
+    ):
         body: BodyParamTable = params["body"]
         idx = batch.frame_idx
         thetas = jax.vmap(lambda t: t.thetas(idx))(body)  # (P, 72)
@@ -154,23 +220,52 @@ class TrainStep:
             epoch,
             sam_mask_logits=batch.sam_mask,
         )
+
+        # pose-opt step losses (multiply_model.py:195-202): weighted and
+        # decayed over depth_loss_milestone exactly like get_depth_order_loss
+        zero = jnp.zeros(())
+        d_w, s_w, i_w = zero, zero, zero
+        if pose_batch is not None:
+            d_raw, s_raw, i_raw = self._pose_step_losses(
+                params, person_state, batch, pose_batch, jax.random.fold_in(key, 7)
+            )
+            cfg = self.loss_cfg
+            decay = 1.0 - (
+                jnp.minimum(float(cfg.depth_loss_milestone), jnp.asarray(epoch, jnp.float32))
+                / cfg.depth_loss_milestone
+            )
+            d_w = cfg.depth_order_weight * decay * d_raw
+            s_w = cfg.silhouette_weight * decay * s_raw
+            i_w = cfg.interpenetration_weight * decay * i_raw
+            loss = loss + d_w + s_w + i_w
+            logs["loss"] = loss
+        logs["pose_depth_order_loss"] = d_w
+        logs["pose_silhouette_loss"] = s_w
+        logs["pose_interpenetration_loss"] = i_w
         return loss, logs
 
     # -- step ----------------------------------------------------------
 
-    def step(self, ts: TrainState, batch: Batch, key: jax.Array, person_state=None):
+    def step(
+        self, ts: TrainState, batch: Batch, key: jax.Array, person_state=None,
+        pose_batch: PoseLossBatch | None = None,
+    ):
         """One optimization step. Jit this (static self via closure).
 
         `person_state` carries the refreshable canonical-mesh state (SDF
         grids re-baked every 20 epochs, reference multiply_model.py:491-508)
         as a traced argument so refreshes don't recompile.
+
+        `pose_batch` (MODE_POSE_ONLY frames only) adds the mesh-based
+        depth-order + silhouette + interpenetration losses to the step
+        (multiply_model.py:195-202); passing it traces a second jit variant.
         """
         if person_state is None:
             person_state = self.state
         epoch = ts.epoch
         (loss, logs), grads = jax.value_and_grad(
             self._forward_loss, has_aux=True
-        )(ts.params, person_state, batch, epoch, key)
+        )(ts.params, person_state, batch, epoch, key, pose_batch)
 
         # NaN guard (multiply_model.py:212-214): skip the update entirely
         finite = jnp.isfinite(loss)

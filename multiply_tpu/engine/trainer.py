@@ -39,21 +39,33 @@ from .pose_losses import (
     interpenetration_loss,
     sparse_depth_order_loss,
 )
-from .train import MODE_DELAYED_POSE, MODE_JOINT, MODE_POSE_ONLY, Batch, TrainStep
+from .train import (
+    MODE_DELAYED_POSE,
+    MODE_JOINT,
+    MODE_POSE_ONLY,
+    Batch,
+    PoseLossBatch,
+    TrainStep,
+)
+
+
+def _pad_mesh_to(verts: np.ndarray, faces: np.ndarray, v_to: int, f_to: int):
+    """Pad mesh arrays to exact target sizes. Verts repeat a real vertex
+    (phantom origin points would leak into interpenetration sampling); faces
+    pad degenerate (0,0,0)."""
+    verts_p = np.full((v_to, 3), verts[-1] if len(verts) else 0.0, np.float32)
+    verts_p[: len(verts)] = verts
+    faces_p = np.zeros((f_to, 3), np.int64)
+    faces_p[: len(faces)] = faces
+    return verts_p, faces_p
 
 
 def _pad_mesh(verts: np.ndarray, faces: np.ndarray, bucket: int = 8192):
     """Pad mesh arrays to bucketed sizes so jitted pose-loss steps don't
     recompile for every extraction (degenerate face 0,0,0 padding)."""
-    fv = ((len(faces) + bucket - 1) // bucket) * bucket
-    vv = ((len(verts) + bucket - 1) // bucket) * bucket
-    # pad verts by repeating a real vertex (phantom origin points would leak
-    # into interpenetration sampling); pad faces degenerate (0,0,0)
-    verts_p = np.full((max(vv, bucket), 3), verts[-1] if len(verts) else 0.0, np.float32)
-    verts_p[: len(verts)] = verts
-    faces_p = np.zeros((max(fv, bucket), 3), np.int64)
-    faces_p[: len(faces)] = faces
-    return verts_p, faces_p
+    fv = max(((len(faces) + bucket - 1) // bucket) * bucket, bucket)
+    vv = max(((len(verts) + bucket - 1) // bucket) * bucket, bucket)
+    return _pad_mesh_to(verts, faces, vv, fv)
 
 
 class Trainer:
@@ -99,6 +111,7 @@ class Trainer:
         self.servers = servers
 
         self.loss_cfg = LossConfig.from_config(model_conf.loss)
+        self.interp_samples = int(model_conf.get("interp_samples", 5120))
         self.builder = TrainStep(
             self.renderer,
             self.person_state,
@@ -106,6 +119,7 @@ class Trainer:
             learning_rate=model_conf.learning_rate,
             sched_milestones=tuple(model_conf.sched_milestones),
             sched_factor=model_conf.sched_factor,
+            interp_samples=self.interp_samples,
         )
         self._step = jax.jit(self.builder.step)
 
@@ -121,7 +135,7 @@ class Trainer:
         self.depth_cond_zero = bool(model_conf.get("depth_cond_zero", False))
         self.it_per_loop = model_conf.get("it_per_loop", 100)
         self.depth_pixel_samples = int(model_conf.get("depth_pixel_samples", 4096))
-        self.interp_samples = int(model_conf.get("interp_samples", 5120))
+        self.pose_pixel_samples = int(model_conf.get("pose_pixel_samples", 2048))
         self.mesh_pad_bucket = int(model_conf.get("mesh_pad_bucket", 8192))
         self.using_sam = bool(conf.dataset.train.get("using_SAM", True))
         self.depth_order_weight = model_conf.loss.get("depth_order_weight", 0.005)
@@ -342,6 +356,63 @@ class Trainer:
             self.segmenter(self.epoch, run_dir=self.run_dir)
 
     # ------------------------------------------------------------------
+    # pose-opt step losses (multiply_model.py:195-202)
+    # ------------------------------------------------------------------
+
+    def pose_loss_batch(self, frame_idx: int, rng) -> PoseLossBatch | None:
+        """Mesh payload for a MODE_POSE_ONLY step: canonical meshes extracted
+        with the frame's pose conditioning (like the reference's per-step
+        generate_mesh, multiply_model.py:602-616) plus a SAM-confident pixel
+        sample. Returns None until full-image SAM masks exist."""
+        sam = getattr(self.seq, "_sam_masks", None)
+        if sam is None:
+            return None
+        probs = 1.0 / (1.0 + np.exp(-np.asarray(sam[frame_idx], np.float32)))
+        sam_sum = probs.sum(-1)
+        valid = (sam_sum >= 0.7) & (sam_sum <= 1.01)
+        vy, vx = np.nonzero(valid)
+        n_valid = len(vx)
+        if n_valid == 0:
+            return None
+        M = self.pose_pixel_samples
+        sel = rng.choice(n_valid, M, replace=n_valid < M)
+        uv = np.stack([vx[sel], vy[sel]], -1).astype(np.float32)
+
+        body = self.ts.params["body"]
+        meshes = []
+        for p in range(self.num_person):
+            table = jax.tree.map(lambda x: x[p], body)
+            cond = np.asarray(table.body_pose[frame_idx]) / np.pi
+            try:
+                verts_c, faces = generate_mesh(
+                    self.canonical_sdf_fn(p, jnp.asarray(cond)),
+                    np.asarray(self.servers[p].verts_c),
+                    res_up=self.mesh_res_up,
+                )
+                if len(verts_c) < 16 or len(faces) < 16:
+                    raise ValueError("degenerate mesh")
+            except Exception as e:  # fall back to SMPL body (early training)
+                print(f"pose-loss mesh extraction failed for person {p}: {e}")
+                verts_c = np.asarray(self.servers[p].verts_c)
+                faces = np.asarray(self.servers[p].model.faces)
+            meshes.append((verts_c, faces))
+        bucket = self.mesh_pad_bucket
+        v_to = max(
+            max(((len(m[0]) + bucket - 1) // bucket) * bucket, bucket) for m in meshes
+        )
+        f_to = max(
+            max(((len(m[1]) + bucket - 1) // bucket) * bucket, bucket) for m in meshes
+        )
+        padded = [_pad_mesh_to(v, f, v_to, f_to) for v, f in meshes]
+        return PoseLossBatch(
+            verts_c=jnp.asarray(np.stack([m[0] for m in padded])),
+            faces=jnp.asarray(np.stack([m[1] for m in padded])),
+            uv=jnp.asarray(uv),
+            sam_probs=jnp.asarray(probs[vy[sel], vx[sel]]),
+            scale_to_full=jnp.asarray(n_valid / M, jnp.float32),
+        )
+
+    # ------------------------------------------------------------------
     # training loop
     # ------------------------------------------------------------------
 
@@ -390,8 +461,15 @@ class Trainer:
             has_sam = "sam_mask" in item
             mode = self._select_mode(item.get("is_certain", True), has_sam)
             batch = self.make_batch(item, mode)
+            pose_batch = (
+                self.pose_loss_batch(int(item["idx"]), item_rng)
+                if mode == MODE_POSE_ONLY
+                else None
+            )
             self.key, k = jax.random.split(self.key)
-            self.ts, logs = self._step(self.ts, batch, k, self.person_state)
+            self.ts, logs = self._step(
+                self.ts, batch, k, self.person_state, pose_batch
+            )
         t.join()
         return {k: float(v) for k, v in (logs or {}).items()}
 

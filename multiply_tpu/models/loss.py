@@ -33,6 +33,10 @@ class LossConfig(NamedTuple):
     smpl_surface_milestone: int = 800
     depth_loss_milestone: int = 1000
     zero_pose_milestone: int = 1000
+    # pose-opt step losses (multiply_model.py:195-202 / :718-736)
+    depth_order_weight: float = 0.005
+    silhouette_weight: float = 0.0
+    interpenetration_weight: float = 0.0
     eps: float = 1e-6
 
     @staticmethod
@@ -49,6 +53,11 @@ class LossConfig(NamedTuple):
             sam_start_epoch=opt.get("sam_start_epoch", 200),
             increase_sam=bool(opt.get("increase_sam", False)),
             smpl_surface_milestone=opt.get("smpl_surface_milestone", 800),
+            depth_loss_milestone=opt.get("depth_loss_milestone", 1000),
+            zero_pose_milestone=opt.get("zero_pose_milestone", 1000),
+            depth_order_weight=opt.get("depth_order_weight", 0.005),
+            silhouette_weight=opt.get("silhouette_weight", 0.0),
+            interpenetration_weight=opt.get("interpenetration_loss_weight", 0.0),
         )
 
 

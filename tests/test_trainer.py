@@ -113,6 +113,69 @@ def test_opt_depth_moves_translations(trainer):
     np.testing.assert_array_equal(before[:, 1:], after[:, 1:])
 
 
+def test_pose_only_step_adds_mesh_losses(trainer):
+    """MODE_POSE_ONLY steps carry the depth-order + silhouette +
+    interpenetration losses (multiply_model.py:195-202): the three terms are
+    logged, gradients flow into the frame's SMPL translation, and only body
+    params move (the pose optimizer owns nothing else)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiply_tpu.engine.train import MODE_POSE_ONLY
+
+    tr, run_dir = trainer
+    if tr.seq._sam_masks is None:
+        tr.instance_mask_stage()
+        tr.sam_stage()
+        tr.seq._refresh_sam()
+
+    rng = np.random.default_rng(0)
+    pb = tr.pose_loss_batch(0, rng)
+    assert pb is not None
+    assert pb.verts_c.shape[0] == 2 and pb.faces.shape[0] == 2
+    assert pb.uv.shape == (tr.pose_pixel_samples, 2)
+    assert float(pb.scale_to_full) > 0
+
+    # raw pose losses are finite and differentiable into the translations.
+    # Create a genuine occlusion: person 0 moved directly in front of person 1
+    # (the SAM masks still claim person 1 owns those pixels -> depth-order
+    # disagreement; the meshes also interpenetrate along the view ray).
+    def raw(transl0):
+        body = tr.ts.params["body"]
+        body = body._replace(transl=body.transl.at[0, 0].set(transl0))
+        params = {"net": tr.ts.params["net"], "body": body}
+        item = tr.seq.get_train_item(0, np.random.default_rng(1))
+        batch = tr.make_batch(item, MODE_POSE_ONLY)
+        d, s, i = tr.builder._pose_step_losses(
+            params, tr.person_state, batch, pb, jax.random.PRNGKey(0)
+        )
+        return d + s + i
+
+    t1 = tr.ts.params["body"].transl[1, 0]
+    g = jax.grad(raw)(t1 + jnp.asarray([0.0, 0.0, -0.35]))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0, "pose losses have no transl gradient"
+
+    # a full pose-only step: three terms logged, net params frozen, body moves
+    item = tr.seq.get_train_item(0, rng)
+    batch = tr.make_batch(item, MODE_POSE_ONLY)
+    net_before = jax.tree.map(lambda x: np.asarray(x).copy(), tr.ts.params["net"])
+    body_before = np.asarray(tr.ts.params["body"].transl).copy()
+    ts2, logs = tr._step(tr.ts, batch, jax.random.PRNGKey(3), tr.person_state, pb)
+    for k in (
+        "pose_depth_order_loss",
+        "pose_silhouette_loss",
+        "pose_interpenetration_loss",
+    ):
+        assert k in logs and np.isfinite(float(logs[k])), k
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        net_before,
+        ts2.params["net"],
+    )
+    assert not np.allclose(body_before, np.asarray(ts2.params["body"].transl))
+
+
 def test_checkpoint_roundtrip(trainer, tmp_path):
     tr, run_dir = trainer
     ckpt_dir = str(tmp_path / "ckpts")
