@@ -231,7 +231,9 @@ class PromptEncoder(nn.Module):
         c = 2.0 * jnp.pi * c
         return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
 
-    def dense_pe(self, grid: int = IMG_SIZE // PATCH) -> jnp.ndarray:
+    def dense_pe(self, grid: int | None = None) -> jnp.ndarray:
+        if grid is None:
+            grid = IMG_SIZE // PATCH
         ys = (jnp.arange(grid) + 0.5) / grid
         xs = (jnp.arange(grid) + 0.5) / grid
         g = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
@@ -300,11 +302,18 @@ class TwoWayBlock(nn.Module):
     @nn.compact
     def __call__(self, queries, keys, query_pe, key_pe):
         if self.skip_first_pe:
-            q = queries
+            # official TwoWayAttentionBlock: the first layer REPLACES queries
+            # with the self-attention output (no residual add)
+            queries = DecoderAttention(self.dim, self.num_heads, name="self_attn")(
+                queries, queries, queries
+            )
         else:
             q = queries + query_pe
-        attn = DecoderAttention(self.dim, self.num_heads, name="self_attn")(q, q, queries)
-        queries = nn.LayerNorm(name="norm1")(queries + attn)
+            attn = DecoderAttention(self.dim, self.num_heads, name="self_attn")(
+                q, q, queries
+            )
+            queries = queries + attn
+        queries = nn.LayerNorm(name="norm1")(queries)
 
         q = queries + query_pe
         k = keys + key_pe
@@ -340,6 +349,7 @@ class MaskDecoder(nn.Module):
         )
         tokens = jnp.concatenate([iou_token, mask_tokens, sparse_prompt], axis=0)
 
+        g = image_embed.shape[0]  # embedding grid side
         src = (image_embed + dense_prompt).reshape(-1, self.dim)
         pos = image_pe.reshape(-1, self.dim)
 
@@ -352,7 +362,6 @@ class MaskDecoder(nn.Module):
         iou_out = q[0]
         mask_out = q[1 : 1 + self.num_mask_tokens]
 
-        g = IMG_SIZE // PATCH
         up = k.reshape(g, g, self.dim)[None]
         up = nn.ConvTranspose(self.dim // 4, (2, 2), strides=(2, 2), name="upscale_conv1")(up)
         up = jax.nn.gelu(LayerNorm2d(self.dim // 4, name="upscale_ln")(up), approximate=False)
@@ -394,7 +403,7 @@ class Sam(nn.Module):
 
     def decode(self, image_embed, points, labels, mask_input):
         sparse, dense = self.prompt_encoder(points, labels, mask_input)
-        image_pe = self.prompt_encoder.dense_pe()
+        image_pe = self.prompt_encoder.dense_pe(image_embed.shape[0])
         return self.mask_decoder(image_embed, image_pe, sparse, dense)
 
     def __call__(self, x, points, labels, mask_input):
@@ -585,8 +594,15 @@ def port_torch_checkpoint(path: str, variant: str = "vit_h") -> dict:
         "scale": t["mask_decoder.transformer.norm_final_attn.weight"],
         "bias": t["mask_decoder.transformer.norm_final_attn.bias"],
     }
+    def convT(key):
+        # torch ConvTranspose2d (in,out,kh,kw) -> flax ConvTranspose
+        # (kh,kw,in,out) with transpose_kernel=False, which does NOT flip the
+        # kernel like torch's gradient-of-conv does — flip spatially here
+        w = t[key].transpose(2, 3, 0, 1)
+        return np.ascontiguousarray(w[::-1, ::-1])
+
     md["upscale_conv1"] = {
-        "kernel": t["mask_decoder.output_upscaling.0.weight"].transpose(2, 3, 0, 1),
+        "kernel": convT("mask_decoder.output_upscaling.0.weight"),
         "bias": t["mask_decoder.output_upscaling.0.bias"],
     }
     md["upscale_ln"] = {
@@ -594,7 +610,7 @@ def port_torch_checkpoint(path: str, variant: str = "vit_h") -> dict:
         "bias": t["mask_decoder.output_upscaling.1.bias"],
     }
     md["upscale_conv2"] = {
-        "kernel": t["mask_decoder.output_upscaling.3.weight"].transpose(2, 3, 0, 1),
+        "kernel": convT("mask_decoder.output_upscaling.3.weight"),
         "bias": t["mask_decoder.output_upscaling.3.bias"],
     }
     for i in range(4):
