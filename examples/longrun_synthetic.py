@@ -1,0 +1,225 @@
+"""Long-horizon orchestrated run: the full MultiPly refinement schedule on the
+synthetic scene, scaled ~5x down from the reference's epoch milestones.
+
+Exercises, on ONE timeline (reference multiply_model.py:131-227, 489-519):
+  * SAM-loss onset (sam_start_epoch),
+  * uncertainty-driven delayed-pose epochs before pose_correction_epoch,
+  * pose-opt epochs with the mesh-based depth-order / silhouette /
+    interpenetration step losses (pose_start..pose_end, every interval),
+  * canonical-mesh refreshes + instance-mask/SAM stages,
+  * a final opt_depth translation pass,
+and writes RUNLOG.md + docs/runlog/ artifacts (PSNR + mask-IoU trajectory).
+
+    python examples/longrun_synthetic.py [--epochs 200] [--out RUNLOG.md]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # deterministic host run (no relay)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--segment", type=int, default=20, help="metrics cadence")
+    ap.add_argument("--run_dir", default="outputs/Synthetic/longrun")
+    ap.add_argument("--out", default="RUNLOG.md")
+    args = ap.parse_args()
+
+    from multiply_tpu.config import load_config
+    from multiply_tpu.data.synthetic import make_scene
+    from multiply_tpu.data.synthetic_sequence import SyntheticSequence
+    from multiply_tpu.engine.sam_stage import PriorSegmenter
+    from multiply_tpu.engine.trainer import Trainer
+
+    conf = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "confs", "synthetic_base.yaml"),
+        overrides={
+            "model": {
+                # schedule scaled ~5x down from the reference milestones
+                "pose_correction_epoch": 100,
+                "pose_start_epoch": 60,
+                "pose_end_epoch": 160,
+                "pose_opt_interval": 10,
+                "pose_opt_epoch": 1,
+                "depth_end": False,  # pose-opt step-loss mode
+                "depth_epoch": [],
+                "it_per_loop": 40,
+                "cano_grid_res": 24,
+                "cano_mesh_res_up": 1,
+                "mesh_pad_bucket": 4096,
+                "pose_pixel_samples": 1024,
+                "interp_samples": 2048,
+                "depth_pixel_samples": 2048,
+                "loss": {"sam_start_epoch": 40},
+            },
+            "dataset": {"train": {"num_sample": 128, "end_frame": 4,
+                                  "height": 48, "width": 64}},
+        },
+    )
+    run_dir = args.run_dir
+    os.makedirs(run_dir, exist_ok=True)
+
+    scene = make_scene(num_frames=4, num_persons=2, height=48, width=64)
+    seq = SyntheticSequence(
+        scene, num_sample=128, using_sam=True, run_dir=run_dir,
+        ratio_uncertain=0.5,
+    )
+    from train import build_servers
+
+    servers = build_servers(conf, seq)
+    tr = Trainer(conf, seq, servers, run_dir=run_dir, segmenter=PriorSegmenter())
+
+    rows = []
+    t0 = time.time()
+    target = args.epochs
+    while tr.epoch < target:
+        upto = min(tr.epoch + args.segment, target)
+        tr.fit(upto, val_every=args.segment, ckpt_every=100,
+               ckpt_dir=os.path.join(run_dir, "checkpoints"))
+        try:
+            psnr = tr.validate(frame_idx=0)
+        except Exception as e:
+            print(f"validate failed: {e}")
+            psnr = float("nan")
+        iou = (
+            float(np.mean(seq.smpl_sam_iou))
+            if getattr(seq, "smpl_sam_iou", None) is not None
+            else float("nan")
+        )
+        logs = {}
+        metrics_path = os.path.join(run_dir, "metrics.jsonl")
+        if os.path.exists(metrics_path):
+            with open(metrics_path) as f:
+                for line in f:
+                    rec = json.loads(line)
+                    logs = rec if "loss" in rec else logs
+        row = {
+            "epoch": tr.epoch,
+            "psnr": psnr,
+            "mask_iou": iou,
+            "loss": logs.get("loss", float("nan")),
+            "rgb_loss": logs.get("rgb_loss", float("nan")),
+            "sam_mask_loss": logs.get("sam_mask_loss", float("nan")),
+            "pose_depth_order_loss": logs.get("pose_depth_order_loss", float("nan")),
+            "pose_interpenetration_loss": logs.get(
+                "pose_interpenetration_loss", float("nan")
+            ),
+            "wall_s": time.time() - t0,
+        }
+        rows.append(row)
+        print(
+            f"[segment] epoch {row['epoch']} PSNR {row['psnr']:.2f} "
+            f"IoU {row['mask_iou']:.3f} ({row['wall_s']:.0f}s)"
+        )
+
+    # final translation-only depth pass (reference depth_end mode)
+    psnr_before_opt = rows[-1]["psnr"]
+    transl_before = np.asarray(tr.ts.params["body"].transl).copy()
+    if seq._sam_masks is not None:
+        tr.opt_depth()
+    transl_delta = float(
+        np.abs(np.asarray(tr.ts.params["body"].transl) - transl_before).max()
+    )
+    psnr_after_opt = tr.validate(frame_idx=0)
+    wall = time.time() - t0
+
+    write_runlog(args.out, conf, rows, psnr_before_opt, psnr_after_opt,
+                 transl_delta, wall, run_dir)
+
+
+def write_runlog(path, conf, rows, psnr_before, psnr_after, transl_delta,
+                 wall, run_dir):
+    md = []
+    md.append("# RUNLOG — long-horizon synthetic run (full refinement schedule)\n")
+    md.append(
+        "One timeline through every stage of the reference's self-refinement "
+        "loop (multiply_model.py:131-227, 489-519), scaled ~5x down: SAM-loss "
+        "onset at epoch 40, uncertainty-driven delayed-pose before 100, "
+        "pose-opt epochs (mesh depth-order + silhouette + interpenetration "
+        "step losses) every 10 epochs in [60, 160), canonical-mesh refresh "
+        "every 20, instance-mask + SAM stages every 20, final opt_depth "
+        "translation pass.\n"
+    )
+    md.append(f"Total wall-clock: **{wall/60:.1f} min** (single host CPU core, "
+              "4 frames x 128 rays, tiny nets).\n")
+    md.append("\n## Trajectory\n")
+    md.append("| epoch | val PSNR (dB) | mask IoU | loss | rgb | sam | "
+              "pose depth-order | pose interp |")
+    md.append("|---|---|---|---|---|---|---|---|")
+    for r in rows:
+        md.append(
+            f"| {r['epoch']} | {r['psnr']:.2f} | {r['mask_iou']:.3f} | "
+            f"{r['loss']:.4f} | {r['rgb_loss']:.4f} | {r['sam_mask_loss']:.4f} | "
+            f"{r['pose_depth_order_loss']:.5f} | "
+            f"{r['pose_interpenetration_loss']:.5f} |"
+        )
+    md.append("\n## Final opt_depth pass\n")
+    md.append(f"- PSNR before: {psnr_before:.2f} dB, after: {psnr_after:.2f} dB")
+    md.append(f"- max |Δtransl| applied by the pass: {transl_delta:.4f}\n")
+
+    first = next((r for r in rows if np.isfinite(r["psnr"])), None)
+    last = next((r for r in reversed(rows) if np.isfinite(r["psnr"])), None)
+    if first and last:
+        md.append(
+            f"\nPSNR {first['psnr']:.2f} -> {last['psnr']:.2f} dB across the "
+            f"schedule; mask IoU {first['mask_iou']:.3f} -> "
+            f"{last['mask_iou']:.3f}.\n"
+        )
+
+    # plot (optional artifact)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        os.makedirs("docs/runlog", exist_ok=True)
+        fig, ax1 = plt.subplots(figsize=(7, 4))
+        ep = [r["epoch"] for r in rows]
+        ax1.plot(ep, [r["psnr"] for r in rows], "o-", label="val PSNR (dB)")
+        ax1.set_xlabel("epoch")
+        ax1.set_ylabel("PSNR (dB)")
+        ax2 = ax1.twinx()
+        ax2.plot(ep, [r["mask_iou"] for r in rows], "s--", color="tab:orange",
+                 label="mask IoU")
+        ax2.set_ylabel("SMPL-SAM mask IoU")
+        for x, lbl in [(40, "SAM loss on"), (60, "pose-opt start"),
+                       (100, "pose-correction end"), (160, "pose-opt end")]:
+            ax1.axvline(x, color="gray", alpha=0.4, lw=0.8)
+            ax1.text(x, ax1.get_ylim()[1], lbl, rotation=90, fontsize=6,
+                     va="top", ha="right")
+        fig.tight_layout()
+        fig.savefig("docs/runlog/psnr_iou.png", dpi=120)
+        md.append("![trajectory](docs/runlog/psnr_iou.png)\n")
+        # keep the last validation render as a visual artifact
+        import glob
+        import shutil
+
+        vals = sorted(glob.glob(os.path.join(run_dir, "val", "*.png")))
+        if vals:
+            shutil.copy(vals[0], "docs/runlog/val_first.png")
+            shutil.copy(vals[-1], "docs/runlog/val_last.png")
+            md.append("First vs last validation render (GT | prediction):\n")
+            md.append("![first](docs/runlog/val_first.png)")
+            md.append("![last](docs/runlog/val_last.png)\n")
+    except Exception as e:
+        print(f"plotting skipped: {e}")
+
+    with open(path, "w") as f:
+        f.write("\n".join(md) + "\n")
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -269,14 +269,14 @@ class Hi4DSequence:
         data = {"rgb": frame["img"], "uv": frame["uv"], "object_mask": frame["mask_union"]}
         if sam is not None:
             data["sam_mask"] = sam
-        samples, index_outside = weighted_sampling(
-            data, self.img_size, self.num_sample, rng
-        )
+        # index_outside is intentionally dropped: the reference threads it to
+        # the (disabled) opacity-sparse loss and nothing consumes it
+        # (multiply.py:576, loss.py:129-130)
+        samples, _ = weighted_sampling(data, self.img_size, self.num_sample, rng)
 
         out = {
             "uv": samples["uv"].astype(np.float32),
             "rgb": samples["rgb"].astype(np.float32),
-            "index_outside": index_outside,
             "intrinsics": self.intrinsics[idx],
             "pose": self.pose[idx],
             "P": self.P[idx],

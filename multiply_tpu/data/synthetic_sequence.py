@@ -90,14 +90,13 @@ class SyntheticSequence:
         }
         sam = self._sam_masks[idx] if self._sam_masks is not None else scene.sam_logits[idx]
         data["sam_mask"] = sam
-        samples, index_outside = weighted_sampling(
+        samples, _ = weighted_sampling(
             data, (scene.height, scene.width), self.num_sample, rng
         )
         return {
             "uv": samples["uv"].astype(np.float32),
             "rgb": samples["rgb"].astype(np.float32),
             "sam_mask": samples["sam_mask"].astype(np.float32),
-            "index_outside": index_outside,
             "intrinsics": scene.intrinsics,
             "pose": scene.cam_pose[idx],
             "P": self._P,

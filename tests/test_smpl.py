@@ -175,3 +175,77 @@ def test_lbs_jit_and_vmap(model):
     )
     out = batched(jnp.zeros((4, 10)), jnp.zeros((4, NUM_JOINTS * 3)))
     assert out.shape == (4, model.num_verts, 3)
+
+
+def test_load_smpl_model_real_format_pkl(tmp_path):
+    """load_smpl_model against a pickle in the real MPI SMPL v1.x layout:
+    chumpy-wrapped arrays (py2 protocol), scipy-sparse J_regressor,
+    (V, 3, 207) posedirs, latin1-encoded — the loader must reproduce the
+    source model's LBS output exactly (body_models.py:118-135 parity)."""
+    import pickle
+    import sys
+    import types
+
+    import scipy.sparse
+
+    from multiply_tpu.body.smpl import load_smpl_model, lbs, synthetic_body_model
+
+    src = synthetic_body_model()
+    V = src.num_verts
+
+    # fake chumpy module so the dump references chumpy.ch.Ch like real pkls
+    ch_mod = types.ModuleType("chumpy.ch")
+
+    class Ch:
+        pass
+
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    ch_mod.Ch = Ch
+    root = types.ModuleType("chumpy")
+    root.ch = ch_mod
+    root.Ch = Ch
+    sys.modules.setdefault("chumpy", root)
+    sys.modules.setdefault("chumpy.ch", ch_mod)
+
+    def chump(arr):
+        o = Ch()
+        o.x = np.asarray(arr, np.float64)  # MPI pkls store float64
+        return o
+
+    data = {
+        "v_template": chump(src.v_template),
+        "shapedirs": chump(np.asarray(src.shapedirs)),
+        # internal ((J-1)*9, V*3) -> MPI (V, 3, (J-1)*9)
+        "posedirs": chump(np.asarray(src.posedirs).T.reshape(V, 3, -1)),
+        "J_regressor": scipy.sparse.csc_matrix(np.asarray(src.joint_regressor)),
+        "weights": chump(src.lbs_weights),
+        "f": np.asarray(src.faces, np.uint32),
+        "kintree_table": np.zeros((2, 24), np.int64),  # present in real pkls
+        "bs_style": "lbs",
+    }
+    path = tmp_path / "SMPL_NEUTRAL.pkl"
+    with open(path, "wb") as f:
+        pickle.dump(data, f, protocol=2)
+    for m in ("chumpy", "chumpy.ch"):
+        sys.modules.pop(m, None)
+
+    # direct file path and gendered directory layout both load
+    loaded = load_smpl_model(str(path))
+    loaded_dir = load_smpl_model(str(tmp_path), gender="neutral")
+
+    rng = np.random.default_rng(0)
+    betas = jnp.asarray(rng.standard_normal(10) * 0.3, jnp.float32)
+    pose = jnp.asarray(rng.standard_normal(72) * 0.2, jnp.float32)
+    ref = lbs(src, betas, pose)
+    for model in (loaded, loaded_dir):
+        out = lbs(model, betas, pose)
+        np.testing.assert_allclose(
+            np.asarray(out["verts"]), np.asarray(ref["verts"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["joints"]), np.asarray(ref["joints"]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["T"]), np.asarray(ref["T"]), atol=1e-5
+        )
