@@ -123,19 +123,19 @@ def build_sam_prompts(
         # square-padded 256x256 mask prior, as logits
         import cv2
 
+        # the predictor pads the resized image into the TOP-LEFT of its square
+        # input (models/sam.py set_image), so the mask prior must align there
         side = max(H, W)
         canvas = np.zeros((side, side), np.uint8)
-        if H > W:
-            canvas[:H, :W] = mask
-        else:
-            canvas[:H, side - W :] = mask
+        canvas[:H, :W] = mask
         prior = cv2.resize(canvas, (256, 256)).astype(np.float32)
         eps = 1e-6
         prior_logit = np.log(np.clip(prior, eps, 1 - eps) / np.clip(1 - prior, eps, 1 - eps))
 
+        kp_int = np.round(np.asarray(keypoints[pid], np.float64)).astype(np.int64)
         pos = [
             p
-            for p in keypoints[pid]
+            for p in kp_int
             if 0 <= p[1] < H and 0 <= p[0] < W and mask[p[1], p[0]] > 0.7
         ]
         if not pos:
@@ -144,7 +144,7 @@ def build_sam_prompts(
                 j = rng.integers(0, len(xs))
                 pos = [np.asarray([xs[j], ys[j]])]
             else:
-                pos = [keypoints[pid][-1]]
+                pos = [kp_int[-1]]
 
         neg = []
         tries = 0
@@ -156,7 +156,7 @@ def build_sam_prompts(
         for other in range(P):
             if other == pid:
                 continue
-            for p in keypoints[other]:
+            for p in np.round(np.asarray(keypoints[other], np.float64)).astype(np.int64):
                 if (
                     0 <= p[1] < H
                     and 0 <= p[0] < W

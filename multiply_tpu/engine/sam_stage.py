@@ -86,13 +86,16 @@ class SamSegmenter:
         np.save(os.path.join(out_dir, "sam_opt_mask.npy"), out)
         return out
 
-    @staticmethod
-    def _to_full_res(logits: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
+    def _to_full_res(self, logits: np.ndarray, hw: tuple[int, int]) -> np.ndarray:
         if logits.shape == tuple(hw):
             return logits
+        if hasattr(self.predictor, "logits_to_full_res"):
+            return self.predictor.logits_to_full_res(logits)
         import cv2
 
+        # set_image pads the resized image into the TOP-LEFT of the square
+        # model input, so the valid content is always the top-left crop
         H, W = hw
         side = max(H, W)
         up = cv2.resize(logits, (side, side))
-        return up[:H, :W] if H > W else up[:H, side - W :]
+        return up[:H, :W]

@@ -466,11 +466,15 @@ class SamPredictor:
         pts = np.pad(pts, ((0, pad), (0, 0)))
         lbl = np.pad(lbl, (0, pad), constant_values=-1)
 
-        m = (
-            jnp.asarray(mask_input_logits, jnp.float32)
-            if mask_input_logits is not None
-            else None
-        )
+        m = None
+        if mask_input_logits is not None:
+            m = np.asarray(mask_input_logits, np.float32)
+            want = (IMG_SIZE // PATCH) * 4  # decoder's low-res mask side
+            if m.shape != (want, want):
+                import cv2
+
+                m = cv2.resize(m, (want, want))
+            m = jnp.asarray(m)
         masks, iou = self._decode(
             self.params, self._embed, jnp.asarray(pts), jnp.asarray(lbl), m
         )
