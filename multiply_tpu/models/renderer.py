@@ -84,6 +84,17 @@ class MultiplyRenderer:
         self.beta_encoding_on = bool(conf.implicit_network.get("beta_encoding", False))
 
         self.fg_implicit = ImplicitNet.from_config(conf.implicit_network)
+        # per-person tri-plane identity conditioning (cond: smpl_tri,
+        # reference networks.py:32-39,140-148): the 69-d pose is concatenated
+        # with a 64-d tri-plane feature sampled at x/2 inside _implicit
+        self.triplane_on = self.fg_implicit.cond == "smpl_tri"
+        if self.triplane_on:
+            from .triplane import TriPlane
+
+            self.triplane = TriPlane(
+                features=64,
+                resolution=int(conf.implicit_network.get("triplane_resolution", 128)),
+            )
         self.offset_head = OffsetHead(
             feature_vector_size=conf.implicit_network.feature_vector_size,
             no_head_feature=bool(conf.implicit_network.get("no_head_feature", False)),
@@ -103,26 +114,11 @@ class MultiplyRenderer:
         # clip each person's sampling interval to its box entry/exit
         # (use_bbox_sampler concept; off by default for reference parity)
         self.bbox_ray_range = bool(conf.get("bbox_ray_range", False))
-        # fused Pallas forward for the sampler's (stop-grad) SDF evals —
-        # numerically exact but measured ~12% SLOWER than XLA's own matmul
-        # pipeline at these shapes (v5e, 65k pts x 8x256); off by default,
-        # kept as tuning infrastructure
-        self.fused_sampler_mlp = bool(conf.get("fused_sampler_mlp", False))
-        self._fused_mlp = None
-        if self.fused_sampler_mlp and not (self.offset_head_on or self.beta_encoding_on):
-            try:
-                from ..ops.mlp_pallas import FusedSDFMLP
-
-                cond_dim = (
-                    69 + 64
-                    if self.use_person_encoder
-                    else {"smpl": 69, "frame": 32, "smpl_id": 133, "none": 0}[
-                        self.fg_implicit.cond
-                    ]
-                )
-                self._fused_mlp = FusedSDFMLP(self.fg_implicit, cond_dim)
-            except Exception:
-                self._fused_mlp = None
+        # NOTE: a fused Pallas sampler-MLP kernel was evaluated and removed:
+        # with bf16 weights it beats XLA by 14% in isolation (1.50 vs 1.74 ms
+        # at 65k pts x 8x256 on v5e) but loses 12% end-to-end because the
+        # kernel boundary blocks XLA from fusing the deformer-inverse/PE
+        # pipeline into the matmuls. XLA's own pipeline is the fast path.
 
     # ------------------------------------------------------------------
     # setup
@@ -131,11 +127,11 @@ class MultiplyRenderer:
     def init_params(self, key: jax.Array) -> dict:
         kf, kr, kb, kbr, kl = jax.random.split(key, 5)
         d_in = self.fg_implicit.d_in
-        cond_dim = {"smpl": 69, "frame": 32, "smpl_id": 133, "none": 0}[
+        cond_dim = {"smpl": 69, "frame": 32, "smpl_id": 133, "smpl_tri": 133, "none": 0}[
             self.fg_implicit.cond
         ]
         x = jnp.zeros((2, d_in))
-        if self.use_person_encoder:
+        if self.use_person_encoder and not self.triplane_on:
             cond_dim = 69 + 64  # pose + person identity latent ('smpl_id')
         cond = jnp.zeros((cond_dim,)) if cond_dim else None
 
@@ -181,6 +177,10 @@ class MultiplyRenderer:
             params["person_latent"] = (
                 jax.random.normal(jax.random.fold_in(kl, 1), (self.P, 64)) * 0.1
             )
+        if self.triplane_on:
+            params["triplane"] = jax.vmap(
+                lambda k: self.triplane.init(k, jnp.zeros((2, 3)))
+            )(jax.random.split(jax.random.fold_in(kf, 4), self.P))
         if self.offset_head_on:
             out0 = jnp.zeros((2, 1 + self.fg_implicit.feature_vector_size))
             from ..ops.embedders import embedding_dim
@@ -213,6 +213,8 @@ class MultiplyRenderer:
             bundle["head"] = sel(params["offset_head"], True)
         if self.beta_encoding_on:
             bundle["benc"] = sel(params["beta_encoder"], True)
+        if self.triplane_on:
+            bundle["tri"] = sel(params["triplane"], True)
         return bundle
 
     def bundle_axes(self) -> dict:
@@ -221,6 +223,8 @@ class MultiplyRenderer:
             axes["head"] = 0
         if self.beta_encoding_on:
             axes["benc"] = 0
+        if self.triplane_on:
+            axes["tri"] = 0
         return axes
 
     def build_person_state(
@@ -260,6 +264,15 @@ class MultiplyRenderer:
         optional "head": OffsetHead params, "benc": BetaEncoder params}."""
         if not isinstance(bundle, dict):
             bundle = {"imp": bundle}
+        if "tri" in bundle:
+            # smpl_tri conditioning (reference networks.py:140-148): keep the
+            # first 69 pose dims (strip any person latent), append a per-point
+            # tri-plane feature sampled at x/2 (the reference's range guard)
+            tri = self.triplane.apply(bundle["tri"], x * 0.5)
+            pose = jnp.broadcast_to(
+                cond_vec[..., :69], x.shape[:-1] + (69,)
+            )
+            cond_vec = jnp.concatenate([pose, tri.astype(pose.dtype)], axis=-1)
         # match the input dtype to the params: bf16 sampler bundles must not
         # promote back to f32 through a mixed-dtype matmul
         param_dtype = jax.tree_util.tree_leaves(bundle["imp"])[0].dtype
@@ -323,31 +336,7 @@ class MultiplyRenderer:
 
         t_near, t_far, hit = ray_aabb_range(ray_o, ray_d, center - half, center + half)
 
-        use_fused = (
-            self._fused_mlp is not None
-            and jax.devices()[0].platform in ("tpu", "axon")
-        )
-        if use_fused:
-            # fully detached (the reference samples under torch.no_grad; the
-            # Pallas kernel defines no autodiff rule)
-            sg = jax.lax.stop_gradient
-            packed = sg(
-                self._fused_mlp.pack_weights(
-                    bundle["imp"] if isinstance(bundle, dict) else bundle
-                )
-            )
-            fused = self._fused_mlp
-            tfs_sg, verts_sg, cond_sg = sg(tfs), sg(verts), sg(cond_vec)
-
-            def sdf_only(pts):
-                x_c, outlier = state.deformer.inverse(sg(pts), tfs_sg, verts_sg)
-                xin = fused.pack_inputs(x_c, cond_sg)
-                s = fused(packed, xin)
-                if not train:
-                    s = jnp.where(outlier, OUTLIER_SDF, s)
-                return s
-
-        elif self.sampler_bf16:
+        if self.sampler_bf16:
             bundle16 = jax.tree.map(
                 lambda x: x.astype(jnp.bfloat16)
                 if hasattr(x, "dtype") and x.dtype == jnp.float32

@@ -148,3 +148,45 @@ def test_skinning_weights_are_stop_grad():
 
     g = jax.grad(f)(jnp.ones((4, 3)))
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+
+
+def test_point_sampler_prims():
+    """sampler.py parity: PointInSpace local+global mix; PointOnBones segment
+    samples inside [start, end]; joint samples carry one-hot weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from multiply_tpu.ops.point_sampler import (
+        default_bone_ids,
+        sample_joints,
+        sample_points_in_space,
+        sample_points_on_bones,
+    )
+
+    key = jax.random.PRNGKey(0)
+    pc = jnp.asarray(np.random.default_rng(0).standard_normal((64, 3)), jnp.float32)
+    s = sample_points_in_space(key, pc, local_sigma=0.01, global_ratio=0.125)
+    assert s.shape == (64 + 8, 3)
+    # local samples hug their centers; global ones fill the cube
+    assert float(jnp.abs(s[:64] - pc).max()) < 0.08
+    assert float(jnp.abs(s[64:]).max()) <= 0.5
+
+    joints = jnp.asarray(np.random.default_rng(1).standard_normal((24, 3)), jnp.float32)
+    bones = default_bone_ids()
+    assert bones.shape == (23, 2)
+    pts, probs = sample_points_on_bones(key, joints, num_per_bone=5)
+    assert pts.shape == (23 * 5, 3)
+    np.testing.assert_allclose(np.asarray(probs), 0.01)
+    # each sample lies on its segment (within jitter): check first bone's span
+    seg = np.asarray(pts[:5])
+    a, b = np.asarray(joints[bones[0, 0]]), np.asarray(joints[bones[0, 1]])
+    d = b - a
+    t = (seg - a) @ d / (d @ d)
+    assert (t > -1e-3).all() and (t < 1 + 1e-3).all()
+    perp = seg - (a + t[:, None] * d)
+    assert np.abs(perp).max() < 1e-2
+
+    js, w = sample_joints(joints)
+    assert js.shape == (24 + 23, 3) and w.shape == (24 + 23, 24)
+    np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0)
+    np.testing.assert_allclose(np.asarray(js[:24]), np.asarray(joints))
