@@ -29,8 +29,11 @@ def main(argv=None) -> None:
     ap.add_argument("--frames", required=True, help="directory of extracted frames")
     ap.add_argument("--out", required=True, help="output training data directory")
     ap.add_argument("--keypoints", default=None,
-                    help="dir of per-frame ViTPose npys (D,17,3); falls back "
+                    help="dir of per-frame keypoint npys (D,J,3); falls back "
                          "to TRACE's projected joints")
+    ap.add_argument("--kp_format", default="coco17",
+                    choices=["coco17", "openpose25"],
+                    help="keypoint layout: ViTPose/COCO-17 or OpenPose BODY_25")
     ap.add_argument("--smpl_model", default=None,
                     help="SMPL model .pkl (default: synthetic test body)")
     ap.add_argument("--genders", nargs="*", default=None)
@@ -63,6 +66,7 @@ def main(argv=None) -> None:
         start=args.start,
         end=args.end,
         skip=args.skip,
+        kp_format=args.kp_format,
     )
     F, P = inputs.poses.shape[:2]
     print(f"{F} frames, {P} persons, image {inputs.images[0].shape[:2]}")

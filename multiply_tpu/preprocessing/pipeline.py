@@ -53,9 +53,12 @@ def init_translations_pnp(
     (preprocessing_multiple_trace.py `mask` mode)."""
     import jax.numpy as jnp
 
-    from .refine import SMPL_TO_COCO17
+    from .refine import SMPL_TO_COCO17, SMPL_TO_OPENPOSE25
 
     F, P = inputs.poses.shape[:2]
+    n_kp = inputs.keypoints_2d.shape[2]
+    joint_map = np.asarray(SMPL_TO_COCO17 if n_kp == 17 else SMPL_TO_OPENPOSE25)
+    has = joint_map >= 0
     out = np.zeros((F, P, 3), np.float32)
     for f in range(F):
         for p in range(P):
@@ -66,9 +69,9 @@ def init_translations_pnp(
                 jnp.asarray(inputs.poses[f, p]),
                 jnp.asarray(inputs.betas[p]),
             )
-            j3d = np.asarray(smpl_out["smpl_all_jnts"])[np.asarray(SMPL_TO_COCO17)]
+            j3d = np.asarray(smpl_out["smpl_all_jnts"])[np.maximum(joint_map, 0)]
             kp = inputs.keypoints_2d[f, p]
-            conf = kp[:, 2] > 0.3
+            conf = (kp[:, 2] > 0.3) & has
             if conf.sum() >= 6:
                 t = estimate_translation_pnp(j3d[conf], kp[conf, :2], inputs.K)
             else:
@@ -171,7 +174,11 @@ def preprocess_sequence(
     refine_iters: int = 150,
     scale_factor: int = 2,
 ) -> None:
-    """Full pipeline from tracker outputs to a training-ready directory."""
+    """Full pipeline from tracker outputs to a training-ready directory.
+
+    Keypoint format is inferred from the joint count: 17 = ViTPose/COCO,
+    25 = OpenPose BODY_25 (reference run_openpose_multiple_trace.py path).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -188,7 +195,10 @@ def preprocess_sequence(
         jnp.asarray(trans0),
         jnp.asarray(inputs.betas),
         jnp.asarray(inputs.keypoints_2d),
-        RefineConfig(iters=refine_iters),
+        RefineConfig(
+            iters=refine_iters,
+            is_vitpose=inputs.keypoints_2d.shape[2] == 17,
+        ),
     )
     finalize_sequence(
         out_root,

@@ -26,9 +26,14 @@ from .pipeline import TraceInputs
 
 # TRACE/ROMP pj2d_org carries 44 joints: the 24 SMPL joints first, then the
 # extended set (nose/eyes/ears at 24..28, matching our SMPL all-joints
-# layout) — the same indices refine.SMPL_TO_COCO17 uses.
+# layout) — the same indices refine.SMPL_TO_COCO17 / SMPL_TO_OPENPOSE25 use.
 TRACE_TO_COCO17 = np.asarray(
     [24, 26, 25, 28, 27, 16, 17, 18, 19, 20, 21, 1, 2, 4, 5, 7, 8]
+)
+# BODY_25 layout; -1 = no SMPL correspondent (feet/face extras), zero-conf
+TRACE_TO_OPENPOSE25 = np.asarray(
+    [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
+     25, 26, 28, 27, -1, -1, -1, -1, -1, -1]
 )
 
 
@@ -78,21 +83,25 @@ def load_trace_results(path: str) -> dict:
     return {k: data[k] for k in data.files}
 
 
-def _keypoints_from_pj2d(pj2d: np.ndarray) -> np.ndarray:
-    """(P, F, J>=29, 2|3) TRACE projected joints -> (F, P, 17, 3)."""
+def _keypoints_from_pj2d(pj2d: np.ndarray, kp_format: str = "coco17") -> np.ndarray:
+    """(P, F, J>=29, 2|3) TRACE projected joints -> (F, P, 17|25, 3)."""
+    idx = TRACE_TO_COCO17 if kp_format == "coco17" else TRACE_TO_OPENPOSE25
+    has = idx >= 0
+    idx_safe = np.maximum(idx, 0)
     P, F = pj2d.shape[:2]
-    kp = np.zeros((F, P, 17, 3), np.float32)
+    kp = np.zeros((F, P, len(idx), 3), np.float32)
     xy = pj2d[..., :2]
-    kp[..., :2] = np.moveaxis(xy[:, :, TRACE_TO_COCO17], 0, 1)
+    kp[..., :2] = np.moveaxis(xy[:, :, idx_safe], 0, 1)
     # TRACE reports no per-joint confidence in pj2d_org; treat projected
     # joints as reliable, except joints at the invalid (-2, -2)-ish sentinel
     valid = np.moveaxis(
-        np.all(np.abs(xy[:, :, TRACE_TO_COCO17]) < 1e5, axis=-1)
-        & np.any(xy[:, :, TRACE_TO_COCO17] != 0, axis=-1),
+        np.all(np.abs(xy[:, :, idx_safe]) < 1e5, axis=-1)
+        & np.any(xy[:, :, idx_safe] != 0, axis=-1),
         0,
         1,
     )
-    kp[..., 2] = valid.astype(np.float32)
+    kp[..., 2] = valid.astype(np.float32) * has[None, None].astype(np.float32)
+    kp[..., :2] *= has[None, None, :, None]
     return kp
 
 
@@ -140,9 +149,10 @@ def trace_inputs_from_files(
     start: int = 0,
     end: int | None = None,
     skip: int = 1,
+    kp_format: str = "coco17",  # "coco17" (ViTPose) or "openpose25"
 ) -> TraceInputs:
     """Assemble TraceInputs from a TRACE npz + extracted frames (+ optional
-    ViTPose keypoint npys)."""
+    ViTPose/OpenPose keypoint npys)."""
     results = load_trace_results(trace_npz)
     thetas = np.asarray(results["smpl_thetas"], np.float32)  # (P, F, 72)
     betas_pf = np.asarray(results["smpl_betas"], np.float32)[..., :10]
@@ -167,7 +177,7 @@ def trace_inputs_from_files(
             np.float32,
         )
 
-    kp = _keypoints_from_pj2d(results["pj2d_org"])[sel]
+    kp = _keypoints_from_pj2d(results["pj2d_org"], kp_format)[sel]
     if keypoints_dir is not None:
         kp = load_keypoint_npys(keypoints_dir, kp)
 

@@ -230,3 +230,38 @@ def test_cli_driver_end_to_end(tmp_path):
     seq = Hi4DSequence(out_root, num_sample=16, using_sam=False)
     assert len(seq) == 2 and seq.num_person == 2
     assert seq.load_frame(0)["mask_union"].sum() > 20
+
+
+def test_openpose25_pipeline(tmp_path):
+    """BODY_25 keypoints drive the same pipeline (reference
+    run_openpose_multiple_trace.py path): TRACE pj2d maps through
+    SMPL_TO_OPENPOSE25 (ignored/unmapped joints zero-confidence) and the
+    refinement uses the 25-kpt joint map."""
+    import cv2
+
+    from multiply_tpu.preprocessing.trace import (
+        TRACE_TO_OPENPOSE25,
+        trace_inputs_from_files,
+    )
+
+    inputs, servers, *_ = make_trace_inputs(F=2, P=2)
+    npz = str(tmp_path / "trace.npz")
+    _raw_trace_npz(npz, inputs, servers)
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    for f, img in enumerate(inputs.images):
+        cv2.imwrite(str(frames / f"{f:04d}.png"), img)
+
+    got = trace_inputs_from_files(
+        npz, str(frames), K=inputs.K, kp_format="openpose25"
+    )
+    assert got.keypoints_2d.shape == (2, 2, 25, 3)
+    has = np.asarray(TRACE_TO_OPENPOSE25) >= 0
+    assert (got.keypoints_2d[..., ~has, 2] == 0).all()
+    # mapped joints carry pixel coords wherever the raw pj2d was filled; the
+    # test npz fills only the COCO-17 indices, so just check shape/validity
+    assert np.isfinite(got.keypoints_2d).all()
+
+    out_root = str(tmp_path / "data")
+    preprocess_sequence(out_root, got, servers, refine_iters=5, scale_factor=1)
+    assert os.path.exists(os.path.join(out_root, "cameras_normalize.npz"))
