@@ -52,6 +52,7 @@ class LossConfig(NamedTuple):
             temporal_loss_weight=opt.get("temporal_loss_weight", 1.0),
             sam_start_epoch=opt.get("sam_start_epoch", 200),
             increase_sam=bool(opt.get("increase_sam", False)),
+            milestone=opt.get("milestone", 200),
             smpl_surface_milestone=opt.get("smpl_surface_milestone", 800),
             depth_loss_milestone=opt.get("depth_loss_milestone", 1000),
             zero_pose_milestone=opt.get("zero_pose_milestone", 1000),

@@ -104,7 +104,7 @@ def _geometric_init(
     return kernel_init, bias_init
 
 
-COND_DIMS = {"smpl": 69, "frame": 32, "smpl_id": 69 + 64, "none": 0}
+COND_DIMS = {"smpl": 69, "frame": 32, "smpl_id": 69 + 64, "smpl_tri": 69 + 64, "none": 0}
 
 
 class ImplicitNet(nn.Module):

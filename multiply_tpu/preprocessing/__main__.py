@@ -31,6 +31,9 @@ def main(argv=None) -> None:
     ap.add_argument("--keypoints", default=None,
                     help="dir of per-frame keypoint npys (D,J,3); falls back "
                          "to TRACE's projected joints")
+    ap.add_argument("--vitpose", default=None,
+                    help="local ViTPose checkpoint dir: run bbox-prompted "
+                         "keypoint inference in-driver instead of --keypoints")
     ap.add_argument("--kp_format", default="coco17",
                     choices=["coco17", "openpose25"],
                     help="keypoint layout: ViTPose/COCO-17 or OpenPose BODY_25")
@@ -67,6 +70,7 @@ def main(argv=None) -> None:
         end=args.end,
         skip=args.skip,
         kp_format=args.kp_format,
+        vitpose_checkpoint=args.vitpose,
     )
     F, P = inputs.poses.shape[:2]
     print(f"{F} frames, {P} persons, image {inputs.images[0].shape[:2]}")

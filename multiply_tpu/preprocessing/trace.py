@@ -140,6 +140,47 @@ def load_keypoint_npys(
     return out
 
 
+def vitpose_keypoints(
+    images: list[np.ndarray],
+    tracked_kp: np.ndarray,  # (F, P, 17, 3) TRACE-projected anchors
+    checkpoint: str | None = None,
+    detector=None,
+    box_pad: float = 0.2,
+) -> np.ndarray:
+    """Run ViTPose over all frames with TRACE-derived bbox prompts
+    (vitpose_trace.py:137-299): per frame, each track's projected joints give
+    a padded COCO box; detections are NMS'd and Hungarian-matched back to the
+    tracks. Unmatched tracks keep the projected-joint fallback."""
+    from .vitpose import VitPoseDetector, detect_and_track
+
+    if detector is None:
+        detector = VitPoseDetector(checkpoint=checkpoint)
+    F, P = tracked_kp.shape[:2]
+    out = tracked_kp.copy()
+    for f, img in enumerate(images):
+        boxes = []
+        for p in range(P):
+            kp = tracked_kp[f, p]
+            ok = kp[:, 2] > 0
+            if not ok.any():
+                continue
+            x0, y0 = kp[ok, :2].min(0)
+            x1, y1 = kp[ok, :2].max(0)
+            w, h = x1 - x0, y1 - y0
+            boxes.append(
+                [x0 - box_pad * w, y0 - box_pad * h,
+                 w * (1 + 2 * box_pad), h * (1 + 2 * box_pad)]
+            )
+        if not boxes:
+            continue
+        centers = np.stack([_kp_center(tracked_kp[f, p]) for p in range(P)])
+        kp_f = detect_and_track(detector, img, np.asarray(boxes, np.float32), centers)
+        for p in range(P):
+            if kp_f[p, :, 2].any():
+                out[f, p] = kp_f[p]
+    return out
+
+
 def trace_inputs_from_files(
     trace_npz: str,
     frames_dir: str,
@@ -150,6 +191,7 @@ def trace_inputs_from_files(
     end: int | None = None,
     skip: int = 1,
     kp_format: str = "coco17",  # "coco17" (ViTPose) or "openpose25"
+    vitpose_checkpoint: str | None = None,
 ) -> TraceInputs:
     """Assemble TraceInputs from a TRACE npz + extracted frames (+ optional
     ViTPose/OpenPose keypoint npys)."""
@@ -180,6 +222,10 @@ def trace_inputs_from_files(
     kp = _keypoints_from_pj2d(results["pj2d_org"], kp_format)[sel]
     if keypoints_dir is not None:
         kp = load_keypoint_npys(keypoints_dir, kp)
+    elif vitpose_checkpoint is not None:
+        if kp_format != "coco17":
+            raise ValueError("ViTPose inference emits COCO-17 keypoints")
+        kp = vitpose_keypoints(images, kp, checkpoint=vitpose_checkpoint)
 
     return TraceInputs(
         images=images,

@@ -265,3 +265,47 @@ def test_openpose25_pipeline(tmp_path):
     out_root = str(tmp_path / "data")
     preprocess_sequence(out_root, got, servers, refine_iters=5, scale_factor=1)
     assert os.path.exists(os.path.join(out_root, "cameras_normalize.npz"))
+
+
+def test_vitpose_wrapper_detect_and_track():
+    """VitPoseDetector on a tiny random-init model: full pre/post-processing
+    path (bbox prompts -> (17,3) detections) + NMS/Hungarian track matching
+    (vitpose_trace.py:137-299 semantics). Skips when transformers lacks
+    VitPose."""
+    transformers = pytest.importorskip("transformers")
+    if not hasattr(transformers, "VitPoseForPoseEstimation"):
+        pytest.skip("transformers without VitPose")
+    from transformers import VitPoseConfig
+    from transformers.models.vitpose_backbone import VitPoseBackboneConfig
+
+    from multiply_tpu.preprocessing.trace import vitpose_keypoints
+    from multiply_tpu.preprocessing.vitpose import VitPoseDetector
+
+    backbone = VitPoseBackboneConfig(
+        image_size=[64, 48], patch_size=[16, 16], hidden_size=32,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
+    )
+    cfg = VitPoseConfig(backbone_config=backbone)
+    det = VitPoseDetector(config=cfg)
+
+    H, W = 96, 128
+    img = np.zeros((H, W, 3), np.uint8)
+    boxes = np.array([[10, 10, 40, 70], [70, 12, 40, 70]], np.float32)
+    dets = det(img, boxes)
+    assert len(dets) == 2
+    for d in dets:
+        assert d.shape == (17, 3)
+        assert np.isfinite(d).all()
+        # keypoints land inside (padded) image space
+        assert (d[:, 0] > -W).all() and (d[:, 0] < 2 * W).all()
+
+    # frame loop: TRACE anchors -> boxes -> detections matched back to tracks
+    tracked = np.zeros((1, 2, 17, 3), np.float32)
+    tracked[0, 0, :, 0] = 30.0
+    tracked[0, 0, :, 1] = np.linspace(15, 75, 17)
+    tracked[0, 1, :, 0] = 90.0
+    tracked[0, 1, :, 1] = np.linspace(15, 75, 17)
+    tracked[..., 2] = 1.0
+    out = vitpose_keypoints([img], tracked, detector=det)
+    assert out.shape == (1, 2, 17, 3)
+    assert np.isfinite(out).all()
