@@ -77,6 +77,7 @@ class Trainer:
         run_dir: str = ".",
         segmenter: Callable | None = None,  # SAM stage callable or None
         seed: int = 42,
+        devices: int | None = None,  # >1: shard rays over a device mesh
     ):
         self.conf = conf
         self.seq = seq
@@ -122,6 +123,19 @@ class Trainer:
             interp_samples=self.interp_samples,
         )
         self._step = jax.jit(self.builder.step)
+        # multi-chip: rays data-parallel over a 1-D mesh, params replicated,
+        # grad psum inserted by XLA (SURVEY §2.4; reference is single-GPU)
+        self.mesh = None
+        if devices is not None and devices > 1:
+            from ..parallel import make_mesh
+
+            self.mesh = make_mesh(devices)
+        # one shared jitted canonical-SDF eval: params/cond are traced args,
+        # so person switches and epoch refreshes reuse the compilation (and
+        # host-parallel stage threads share one cache)
+        self._sdf_eval = jax.jit(
+            lambda b, cp, be, x: self.renderer._implicit(b, x, cp, betas=be)[:, 0]
+        )
 
         # schedules (multiply_model.py:62-78)
         self.pose_correction_epoch = model_conf.get("pose_correction_epoch", 500)
@@ -161,6 +175,24 @@ class Trainer:
 
         if model_conf.get("smpl_init", False):
             self._apply_smpl_init(model_conf)
+
+        if self.mesh is not None:
+            from ..parallel import replicate
+
+            self.ts = replicate(self.ts, self.mesh)
+            self.person_state = replicate(self.person_state, self.mesh)
+
+    def _run_step(self, batch, key, pose_batch=None):
+        """One optimization step; under a mesh the batch's per-ray arrays are
+        sharded across devices and mesh payloads replicate."""
+        if self.mesh is not None:
+            from ..parallel import replicate
+            from ..parallel.sharding import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
+            if pose_batch is not None:
+                pose_batch = replicate(pose_batch, self.mesh)
+        return self._step(self.ts, batch, key, self.person_state, pose_batch)
 
     def _apply_smpl_init(self, model_conf) -> None:
         """Start the SDF fields as the canonical body instead of a sphere
@@ -225,12 +257,6 @@ class Trainer:
             cond_pose = jnp.concatenate([jnp.asarray(cond_pose), latent])
         bundle = self.renderer.implicit_bundle(self.ts.params["net"], person_id)
         betas = self.ts.params["body"].betas[person_id, 0]
-        if not hasattr(self, "_sdf_eval"):
-            # one shared jitted eval: params/cond are traced args, so person
-            # switches and epoch refreshes reuse the compilation
-            self._sdf_eval = jax.jit(
-                lambda b, cp, be, x: self.renderer._implicit(b, x, cp, betas=be)[:, 0]
-            )
         return lambda pts: np.asarray(
             self._sdf_eval(bundle, cond_pose, betas, jnp.asarray(pts, jnp.float32))
         )
@@ -271,6 +297,10 @@ class Trainer:
                 )
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
         self.person_state = self.person_state._replace(cano_grid=stacked)
+        if self.mesh is not None:
+            from ..parallel import replicate
+
+            self.person_state = replicate(self.person_state, self.mesh)
 
     # ------------------------------------------------------------------
     # deformed meshes (for instance masks / depth losses)
@@ -312,9 +342,14 @@ class Trainer:
     # epoch-end stages
     # ------------------------------------------------------------------
 
-    def instance_mask_stage(self) -> None:
-        frames = []
-        for i in range(self.num_frames):
+    def instance_mask_stage(self, max_workers: int = 4) -> None:
+        """Frames are independent — run them host-parallel (the C++ MISE
+        octree and rasterizer are handle-based and release the GIL via
+        ctypes; jitted SDF evals serialize on the device but overlap with
+        host meshing). Reference loops frames sequentially."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def frame_payload(i: int) -> dict:
             item = self.seq.get_eval_item(i)
             if self.epoch <= 190:
                 # SMPL meshes as prompts early on (multiply_model.py:825-850)
@@ -341,14 +376,15 @@ class Trainer:
                     joints.append(np.asarray(out["smpl_all_jnts"]) / scale)
             else:
                 meshes, joints = self.deformed_meshes_for_frame(i)
-            frames.append(
-                {
-                    "P": item["P"] @ np.diag([float(self.seq.scale)] * 3 + [1.0]),
-                    "img_size": item["img_size"],
-                    "meshes": meshes,
-                    "joints": joints,
-                }
-            )
+            return {
+                "P": item["P"] @ np.diag([float(self.seq.scale)] * 3 + [1.0]),
+                "img_size": item["img_size"],
+                "meshes": meshes,
+                "joints": joints,
+            }
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            frames = list(pool.map(frame_payload, range(self.num_frames)))
         run_instance_mask_stage(self.epoch, frames, out_dir=self.run_dir)
 
     def sam_stage(self) -> None:
@@ -467,9 +503,7 @@ class Trainer:
                 else None
             )
             self.key, k = jax.random.split(self.key)
-            self.ts, logs = self._step(
-                self.ts, batch, k, self.person_state, pose_batch
-            )
+            self.ts, logs = self._run_step(batch, k, pose_batch)
         t.join()
         return {k: float(v) for k, v in (logs or {}).items()}
 

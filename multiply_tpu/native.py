@@ -13,18 +13,21 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from functools import lru_cache
 
 import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libmultiply_native.so")
+_BUILD_LOCK = threading.Lock()  # stage loops call from worker threads
 
 
 @lru_cache(maxsize=1)
 def _lib() -> ctypes.CDLL:
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    with _BUILD_LOCK:
+        if not os.path.exists(_LIB_PATH):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
 
     i64p = ctypes.POINTER(ctypes.c_int64)

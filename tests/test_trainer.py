@@ -199,3 +199,47 @@ def test_checkpoint_roundtrip(trainer, tmp_path):
     np.testing.assert_allclose(
         np.asarray(tr.ts.params["body"].transl), saved, atol=1e-6
     )
+
+
+def test_trainer_multidevice_mesh(tmp_path):
+    """devices=8: the Trainer shards each step's rays over the CPU mesh
+    (params replicated, grads all-reduced by XLA) and an epoch produces a
+    finite loss. Wiring test for train.py --devices; numerical equivalence of
+    the sharded step is covered by test_sharding.py."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
+    run_dir = str(tmp_path)
+    conf = load_config(
+        CONF_PATH,
+        overrides={
+            "model": {
+                "implicit_network": {"dims": [16, 16], "skip_in": [], "multires": 2,
+                                     "feature_vector_size": 16},
+                "rendering_network": {"dims": [16], "feature_vector_size": 16},
+                "bg_implicit_network": {"dims": [16, 16], "multires": 2,
+                                        "feature_vector_size": 16},
+                "bg_rendering_network": {"dims": [16], "feature_vector_size": 16},
+                "ray_sampler": {"N_samples": 8, "N_samples_eval": 16,
+                                "N_samples_extra": 4, "beta_iters": 3,
+                                "max_total_iters": 2, "N_samples_inverse_sphere": 4},
+                "dim_frame_encoding": 8,
+                "num_training_frames": 2,
+                "cano_grid_res": 8,
+                "cano_mesh_res_up": 1,
+            },
+            "dataset": {"train": {"num_sample": 48, "end_frame": 2,
+                                  "height": 20, "width": 24}},
+        },
+    )
+    scene = make_scene(num_frames=2, num_persons=2, height=20, width=24)
+    seq = SyntheticSequence(scene, num_sample=48, run_dir=run_dir)
+    from train import build_servers
+
+    servers = build_servers(conf, seq)
+    tr = Trainer(conf, seq, servers, run_dir=run_dir,
+                 segmenter=PriorSegmenter(), devices=8)
+    assert tr.mesh is not None and tr.mesh.devices.size == 8
+    logs = tr.train_epoch()
+    assert np.isfinite(logs["loss"])

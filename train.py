@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--run_dir", default=None)
     ap.add_argument("--is_continue", action="store_true")
     ap.add_argument(
+        "--devices", type=int, default=0, metavar="N",
+        help="shard each step's rays across the first N local devices "
+             "(params replicated, grads all-reduced over ICI); 0/1 = single",
+    )
+    ap.add_argument(
         "--profile", type=int, default=0, metavar="N",
         help="trace N training steps, print the per-HLO-category device-time "
              "table, write <run_dir>/profile/summary.json, and exit",
@@ -113,6 +118,7 @@ def main():
     trainer = Trainer(
         conf, seq, servers, run_dir=run_dir, segmenter=segmenter,
         seed=conf.get("seed", 42),
+        devices=args.devices or conf.get("devices", None),
     )
 
     if args.is_continue or conf.model.get("is_continue", False):
