@@ -55,7 +55,13 @@ class VitPoseDetector:
                 self.processor = VitPoseImageProcessor()
         elif config is not None:
             self.model = VitPoseForPoseEstimation(config)
-            self.processor = VitPoseImageProcessor()
+            bb = getattr(config, "backbone_config", None)
+            size = getattr(bb, "image_size", None) if bb is not None else None
+            self.processor = (
+                VitPoseImageProcessor(size={"height": size[0], "width": size[1]})
+                if size
+                else VitPoseImageProcessor()
+            )
         else:
             raise ValueError("need checkpoint or config")
         self.model.eval()

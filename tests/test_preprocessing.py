@@ -285,7 +285,7 @@ def test_vitpose_wrapper_detect_and_track():
         image_size=[64, 48], patch_size=[16, 16], hidden_size=32,
         num_hidden_layers=1, num_attention_heads=2, intermediate_size=64,
     )
-    cfg = VitPoseConfig(backbone_config=backbone)
+    cfg = VitPoseConfig(backbone_config=backbone, num_labels=17)
     det = VitPoseDetector(config=cfg)
 
     H, W = 96, 128
