@@ -19,7 +19,12 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..body.server import SMPLServer
-from ..ops.skinning import blend_transforms, affine_inverse, query_skinning_weights
+from ..ops.skinning import (
+    affine_apply_rows,
+    affine_inverse_apply_rows,
+    blend_affine_rows,
+    query_skinning_weights,
+)
 
 
 class SMPLDeformer(NamedTuple):
@@ -56,8 +61,7 @@ class SMPLDeformer(NamedTuple):
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Deformed -> canonical warp. Returns (x_c, outlier_mask)."""
         weights, outlier = self.query_weights(x_d, smpl_verts=smpl_verts, k=k)
-        w_tf_inv = affine_inverse(blend_transforms(weights, smpl_tfs))
-        x_c = jnp.einsum("pij,pj->pi", w_tf_inv[:, :3, :3], x_d) + w_tf_inv[:, :3, 3]
+        x_c = affine_inverse_apply_rows(blend_affine_rows(weights, smpl_tfs), x_d)
         return x_c, outlier
 
     def forward(
@@ -68,20 +72,27 @@ class SMPLDeformer(NamedTuple):
     ) -> jnp.ndarray:
         """Canonical -> deformed warp (weights via canonical KNN)."""
         weights, _ = self.query_weights(x_c, k=k)
-        w_tf = blend_transforms(weights, smpl_tfs)
-        return jnp.einsum("pij,pj->pi", w_tf[:, :3, :3], x_c) + w_tf[:, :3, 3]
+        return affine_apply_rows(blend_affine_rows(weights, smpl_tfs), x_c)
 
-    def forward_jacobian(
+    def forward_jacobian_rows(
         self, x_c: jnp.ndarray, smpl_tfs: jnp.ndarray, k: int = 1
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """(deformed points, d x_d / d x_c) for normals.
+        """(deformed points, blended affine as (12, N) SoA rows).
 
         Because weights are stop-grad, the exact Jacobian of the forward warp
         is the rotation block of the blended transform — no autodiff needed
         (what three reverse-mode passes compute in the reference,
-        multiply.py:627-640).
+        multiply.py:627-640). Rows feed `rotation_inverse_rows` /
+        `covector_apply_rows` for the J^{-T} normal transform.
         """
         weights, _ = self.query_weights(x_c, k=k)
-        w_tf = blend_transforms(weights, smpl_tfs)
-        x_d = jnp.einsum("pij,pj->pi", w_tf[:, :3, :3], x_c) + w_tf[:, :3, 3]
-        return x_d, w_tf[:, :3, :3]
+        m = blend_affine_rows(weights, smpl_tfs)
+        return affine_apply_rows(m, x_c), m
+
+    def forward_jacobian(
+        self, x_c: jnp.ndarray, smpl_tfs: jnp.ndarray, k: int = 1
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """AoS form: (deformed points, (N, 3, 3) Jacobian)."""
+        x_d, m = self.forward_jacobian_rows(x_c, smpl_tfs, k=k)
+        jac = jnp.stack([m[0], m[1], m[2], m[4], m[5], m[6], m[8], m[9], m[10]], -1)
+        return x_d, jac.reshape(-1, 3, 3)

@@ -31,7 +31,8 @@ import numpy as np
 
 from ..body.server import SMPLServer, smpl_server_forward
 from ..ops.density import laplace_beta, laplace_density
-from ..ops.mesh_ops import grid_query, ray_aabb_hit, sdf_grid
+from ..ops.grid_pallas import grid_query_auto
+from ..ops.mesh_ops import ray_aabb_hit, sdf_grid
 from ..utils.cameras import get_camera_params
 from .deformer import SMPLDeformer
 from .networks import BetaEncoder, ImplicitNet, OffsetHead, RenderingNet
@@ -388,10 +389,11 @@ class MultiplyRenderer:
         if not train:
             sdf = jnp.where(outlier, OUTLIER_SDF, sdf)
         (sdf_grad_c,) = vjp_fn((jnp.ones_like(sdf), jnp.zeros_like(feat)))
-        _, J = state.deformer.forward_jacobian(x_c, tfs)
-        from ..ops.skinning import inv3x3
+        _, m_rows = state.deformer.forward_jacobian_rows(x_c, tfs)
+        from ..ops.skinning import covector_apply_rows, rotation_inverse_rows
 
-        n_d = jnp.einsum("ni,nij->nj", sdf_grad_c, inv3x3(J))
+        # n_d = g^T J^{-1}, all SoA — no (N,3,3) materialization
+        n_d = covector_apply_rows(rotation_inverse_rows(m_rows), sdf_grad_c)
         normals = n_d / jnp.maximum(
             jnp.linalg.norm(n_d, axis=-1, keepdims=True), 1e-6
         )
@@ -621,7 +623,7 @@ class MultiplyRenderer:
 
         # in/off-surface per person via baked canonical SDF grid
         def person_surf(st, x_c):
-            d = grid_query(st.cano_grid, x_c).reshape(R, S)
+            d = grid_query_auto(st.cano_grid, x_c).reshape(R, S)
             dmin = jnp.min(d, axis=-1)
             return dmin > self.threshold, dmin <= 0.0
 

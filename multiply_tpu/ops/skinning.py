@@ -6,6 +6,12 @@ sqrt(d2) > 0.1, and forward/inverse application of the blended bone transform.
 The blended 4x4 is affine, so its inverse is computed in closed form (adjugate
 3x3 + translation) instead of a general matrix inverse — VPU-friendly and
 exactly what autodiff needs for the J^{-T} normal transform.
+
+Layout note (TPU): the hot paths keep the per-point transform as 12
+structure-of-arrays row vectors of shape (N,) instead of an (N, 4, 4) array.
+AoS puts the 4-wide matrix dims in the (8, 128) tile lanes — 97% padding
+waste — and profiled at ~12 ms/step of pure layout shuffling; SoA keeps N in
+the lane dimension and fuses into neighbouring elementwise work.
 """
 
 from __future__ import annotations
@@ -17,6 +23,79 @@ from .knn import knn
 
 OUTLIER_DIST = 0.1  # meters, reference deformer.py:49
 DIST_CLAMP = 4.0  # squared-distance clamp, reference deformer.py:41
+
+
+# ----------------------------------------------------------------------
+# SoA core: blended affine as 12 rows [r00 r01 r02 t0 | r10 .. t1 | r20 .. t2]
+# ----------------------------------------------------------------------
+
+
+def blend_affine_rows(weights: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
+    """(N, J) weights x (J, 4, 4) bone transforms -> (12, N) affine rows.
+
+    One small MXU matmul; f32 HIGHEST (positions need mm precision)."""
+    flat = tfs[:, :3, :].reshape(tfs.shape[0], 12)  # (J, 12)
+    return jnp.matmul(
+        flat.T, weights.T, precision=jax.lax.Precision.HIGHEST
+    )  # (12, N)
+
+
+def affine_apply_rows(m: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply (12, N) affine rows to (N, 3) points -> (N, 3)."""
+    x0, x1, x2 = x[:, 0], x[:, 1], x[:, 2]
+    y0 = m[0] * x0 + m[1] * x1 + m[2] * x2 + m[3]
+    y1 = m[4] * x0 + m[5] * x1 + m[6] * x2 + m[7]
+    y2 = m[8] * x0 + m[9] * x1 + m[10] * x2 + m[11]
+    return jnp.stack([y0, y1, y2], axis=-1)
+
+
+def affine_inverse_apply_rows(m: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply the INVERSE of (12, N) affine rows to (N, 3) points.
+
+    Solves R y = (x - t) with the closed-form adjugate — never materializes
+    an (N, 3, 3) inverse."""
+    r00, r01, r02, t0, r10, r11, r12, t1, r20, r21, r22, t2 = m
+    b0, b1, b2 = x[:, 0] - t0, x[:, 1] - t1, x[:, 2] - t2
+    A = r11 * r22 - r12 * r21  # cof00
+    B = r12 * r20 - r10 * r22  # cof01
+    C = r10 * r21 - r11 * r20  # cof02
+    det = r00 * A + r01 * B + r02 * C
+    inv_det = 1.0 / det
+    y0 = (A * b0 + (r02 * r21 - r01 * r22) * b1 + (r01 * r12 - r02 * r11) * b2) * inv_det
+    y1 = (B * b0 + (r00 * r22 - r02 * r20) * b1 + (r02 * r10 - r00 * r12) * b2) * inv_det
+    y2 = (C * b0 + (r01 * r20 - r00 * r21) * b1 + (r00 * r11 - r01 * r10) * b2) * inv_det
+    return jnp.stack([y0, y1, y2], axis=-1)
+
+
+def rotation_inverse_rows(m: jnp.ndarray) -> jnp.ndarray:
+    """(12, N) affine rows -> (9, N) rows of R^{-1} (adjugate / det)."""
+    r00, r01, r02, _t0, r10, r11, r12, _t1, r20, r21, r22, _t2 = m
+    A = r11 * r22 - r12 * r21
+    B = r12 * r20 - r10 * r22
+    C = r10 * r21 - r11 * r20
+    inv_det = 1.0 / (r00 * A + r01 * B + r02 * C)
+    return jnp.stack(
+        [
+            A * inv_det, (r02 * r21 - r01 * r22) * inv_det, (r01 * r12 - r02 * r11) * inv_det,
+            B * inv_det, (r00 * r22 - r02 * r20) * inv_det, (r02 * r10 - r00 * r12) * inv_det,
+            C * inv_det, (r01 * r20 - r00 * r21) * inv_det, (r00 * r11 - r01 * r10) * inv_det,
+        ]
+    )
+
+
+def covector_apply_rows(r9: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """n[j] = sum_i g[i] * M[i, j] for (9, N) matrix rows and (N, 3) g —
+    the J^{-T} normal transform, SoA."""
+    g0, g1, g2 = g[:, 0], g[:, 1], g[:, 2]
+    n0 = g0 * r9[0] + g1 * r9[3] + g2 * r9[6]
+    n1 = g0 * r9[1] + g1 * r9[4] + g2 * r9[7]
+    n2 = g0 * r9[2] + g1 * r9[5] + g2 * r9[8]
+    return jnp.stack([n0, n1, n2], axis=-1)
+
+
+# ----------------------------------------------------------------------
+# AoS convenience forms (mesh export, tests; not on the per-sample hot path)
+# ----------------------------------------------------------------------
 
 
 def inv3x3(m: jnp.ndarray) -> jnp.ndarray:
@@ -51,6 +130,16 @@ def affine_inverse(tf: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def blend_transforms(weights: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
+    """(N,J) x (J,4,4) -> (N,4,4)."""
+    return jnp.einsum("pn,nij->pij", weights, tfs)
+
+
+# ----------------------------------------------------------------------
+# skinning-weight transfer
+# ----------------------------------------------------------------------
+
+
 def query_skinning_weights(
     pts: jnp.ndarray,  # (N, 3) query points (posed or canonical space)
     verts: jnp.ndarray,  # (V, 3) SMPL verts in the same space
@@ -81,11 +170,6 @@ def query_skinning_weights(
     return weights, outlier
 
 
-def blend_transforms(weights: jnp.ndarray, tfs: jnp.ndarray) -> jnp.ndarray:
-    """(N,J) x (J,4,4) -> (N,4,4)."""
-    return jnp.einsum("pn,nij->pij", weights, tfs)
-
-
 def skinning(
     x: jnp.ndarray,  # (N, 3)
     weights: jnp.ndarray,  # (N, J)
@@ -93,7 +177,7 @@ def skinning(
     inverse: bool = False,
 ) -> jnp.ndarray:
     """Apply (or invert) the weight-blended bone transform to points."""
-    w_tf = blend_transforms(weights, tfs)
+    m = blend_affine_rows(weights, tfs)
     if inverse:
-        w_tf = affine_inverse(w_tf)
-    return jnp.einsum("pij,pj->pi", w_tf[:, :3, :3], x) + w_tf[:, :3, 3]
+        return affine_inverse_apply_rows(m, x)
+    return affine_apply_rows(m, x)

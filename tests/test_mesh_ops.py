@@ -156,3 +156,37 @@ def test_ray_aabb_hit():
     lo, hi = jnp.asarray([-1.0, -1.0, -1.0]), jnp.asarray([1.0, 1.0, 1.0])
     hit = np.asarray(ray_aabb_hit(o, d, lo, hi))
     assert hit.tolist() == [True, False, False]
+
+
+def test_grid_trilinear_pallas_matches_gather():
+    """The Pallas one-hot trilinear kernel (interpret mode) matches the XLA
+    gather-based grid_query to bf16 tolerance, including border clamping."""
+    from multiply_tpu.ops.grid_pallas import _grid_trilinear
+
+    rng = np.random.default_rng(0)
+    res = 16
+    grid = {
+        "grid": jnp.asarray(rng.standard_normal((res, res, res)), jnp.float32),
+        "origin": jnp.asarray([-1.0, -1.2, -0.8]),
+        "spacing": jnp.asarray([0.13, 0.15, 0.11]),
+    }
+    pts = rng.uniform(-1.6, 1.6, size=(700, 3)).astype(np.float32)
+    ref = np.asarray(grid_query(grid, jnp.asarray(pts)))
+    got = np.asarray(
+        _grid_trilinear(
+            grid["grid"], jnp.asarray(pts), grid["origin"], grid["spacing"], True
+        )
+    )
+    assert got.shape == ref.shape
+    # grid values are bf16 in the kernel: ~3 decimal digits
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+    # zero tangent by design (consumers threshold the result)
+    out, tang = jax.jvp(
+        lambda g: _grid_trilinear(
+            g, jnp.asarray(pts[:64]), grid["origin"], grid["spacing"], True
+        ),
+        (grid["grid"],),
+        (jnp.ones_like(grid["grid"]),),
+    )
+    assert np.asarray(tang).max() == 0

@@ -190,3 +190,50 @@ def test_point_sampler_prims():
     assert js.shape == (24 + 23, 3) and w.shape == (24 + 23, 24)
     np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0)
     np.testing.assert_allclose(np.asarray(js[:24]), np.asarray(joints))
+
+
+def test_soa_affine_rows_match_aos():
+    """SoA (12,N)-row forms (TPU layout-friendly hot path) agree with the AoS
+    4x4 forms: blend, apply, inverse-apply, R^{-1} covector transform."""
+    from multiply_tpu.ops.skinning import (
+        affine_apply_rows,
+        affine_inverse_apply_rows,
+        blend_affine_rows,
+        blend_transforms,
+        covector_apply_rows,
+        rotation_inverse_rows,
+    )
+
+    rng = np.random.default_rng(3)
+    J, N = 24, 40
+    tfs = np.tile(np.eye(4, dtype=np.float32), (J, 1, 1))
+    tfs[:, :3, :3] += rng.standard_normal((J, 3, 3)).astype(np.float32) * 0.2
+    tfs[:, :3, 3] = rng.standard_normal((J, 3)).astype(np.float32)
+    w = rng.random((N, J)).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+    x = rng.standard_normal((N, 3)).astype(np.float32)
+    g = rng.standard_normal((N, 3)).astype(np.float32)
+
+    m = blend_affine_rows(jnp.asarray(w), jnp.asarray(tfs))
+    wt = np.asarray(blend_transforms(jnp.asarray(w), jnp.asarray(tfs)))
+    np.testing.assert_allclose(np.asarray(m).T.reshape(N, 3, 4), wt[:, :3, :], atol=1e-5)
+
+    y = np.einsum("pij,pj->pi", wt[:, :3, :3], x) + wt[:, :3, 3]
+    np.testing.assert_allclose(np.asarray(affine_apply_rows(m, jnp.asarray(x))), y, atol=1e-5)
+
+    wti = np.asarray(affine_inverse(jnp.asarray(wt)))
+    yi = np.einsum("pij,pj->pi", wti[:, :3, :3], x) + wti[:, :3, 3]
+    np.testing.assert_allclose(
+        np.asarray(affine_inverse_apply_rows(m, jnp.asarray(x))), yi, atol=1e-4
+    )
+
+    n = np.einsum("ni,nij->nj", g, np.asarray(inv3x3(jnp.asarray(wt[:, :3, :3]))))
+    np.testing.assert_allclose(
+        np.asarray(covector_apply_rows(rotation_inverse_rows(m), jnp.asarray(g))),
+        n,
+        atol=1e-4,
+    )
+
+    # inverse(forward(x)) == x
+    rt = np.asarray(affine_inverse_apply_rows(m, affine_apply_rows(m, jnp.asarray(x))))
+    np.testing.assert_allclose(rt, x, atol=1e-4)
