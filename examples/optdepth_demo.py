@@ -1,0 +1,129 @@
+"""opt_depth recovery demo: perturb translations of a trained model, let the
+depth/silhouette pass pull them back.
+
+The long-horizon run (RUNLOG.md) starts from ground-truth translations, so its
+final opt_depth pass has nothing to fix. This demo shows the pass doing its
+actual job (reference multiply_model.py:230-484): load the longrun checkpoint,
+corrupt every person translation with noise, run the translation-only
+opt_depth loop against the SAM masks, and report PSNR + translation error
+before/after. Appends a section to RUNLOG.md.
+
+    python examples/optdepth_demo.py [--noise 0.08] [--run_dir outputs/Synthetic/longrun]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--noise", type=float, default=0.08, help="transl noise (m)")
+    ap.add_argument("--run_dir", default="outputs/Synthetic/longrun")
+    ap.add_argument("--out", default="RUNLOG.md")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from multiply_tpu.config import load_config
+    from multiply_tpu.data.synthetic import make_scene
+    from multiply_tpu.data.synthetic_sequence import SyntheticSequence
+    from multiply_tpu.engine.sam_stage import PriorSegmenter
+    from multiply_tpu.engine.trainer import Trainer
+
+    conf = load_config(
+        os.path.join(os.path.dirname(__file__), "..", "confs", "synthetic_base.yaml"),
+        overrides={
+            "model": {
+                "depth_end": False,
+                "depth_epoch": [],
+                "it_per_loop": 60,
+                "cano_grid_res": 24,
+                "cano_mesh_res_up": 1,
+                "mesh_pad_bucket": 4096,
+                "interp_samples": 2048,
+                "depth_pixel_samples": 2048,
+                "loss": {"sam_start_epoch": 40},
+            },
+            "dataset": {"train": {"num_sample": 128, "end_frame": 4,
+                                  "height": 48, "width": 64}},
+        },
+    )
+    scene = make_scene(num_frames=4, num_persons=2, height=48, width=64)
+    seq = SyntheticSequence(
+        scene, num_sample=128, using_sam=True, run_dir=args.run_dir,
+        ratio_uncertain=0.5,
+    )
+    from train import build_servers
+
+    servers = build_servers(conf, seq)
+    tr = Trainer(conf, seq, servers, run_dir=args.run_dir,
+                 segmenter=PriorSegmenter())
+
+    ckpts = sorted(glob.glob(os.path.join(args.run_dir, "checkpoints", "*")))
+    assert ckpts, f"no checkpoints under {args.run_dir}"
+    ckpt = next((c for c in ckpts if c.endswith("last")), ckpts[-1])
+    tr.load_checkpoint(ckpt)
+    print(f"loaded {ckpt} (epoch {tr.epoch})")
+    seq._refresh_sam()  # pick up the run's stage_sam_mask outputs
+    assert seq._sam_masks is not None, "run_dir has no SAM-stage masks"
+
+    body = tr.ts.params["body"]
+    transl_true = np.asarray(body.transl).copy()  # (P, F, 3)
+    rng = np.random.default_rng(args.seed)
+    noise = rng.uniform(-args.noise, args.noise, transl_true.shape).astype(np.float32)
+    body = body._replace(transl=jnp.asarray(transl_true + noise))
+    params = dict(tr.ts.params)
+    params["body"] = body
+    tr.ts = tr.ts._replace(params=params)
+
+    err0 = float(np.abs(noise).max())
+    psnr0 = tr.validate(frame_idx=0)
+    print(f"perturbed: max |err| {err0*100:.1f} cm, PSNR {psnr0:.2f} dB")
+
+    t0 = time.time()
+    tr.opt_depth()
+    wall = time.time() - t0
+
+    transl_after = np.asarray(tr.ts.params["body"].transl)
+    err1 = float(np.abs(transl_after - transl_true).max())
+    rmse0 = float(np.sqrt(np.mean(noise**2)))
+    rmse1 = float(np.sqrt(np.mean((transl_after - transl_true) ** 2)))
+    psnr1 = tr.validate(frame_idx=0)
+    print(
+        f"opt_depth ({wall/60:.1f} min): max |err| {err0*100:.1f} -> "
+        f"{err1*100:.1f} cm, rmse {rmse0*100:.2f} -> {rmse1*100:.2f} cm, "
+        f"PSNR {psnr0:.2f} -> {psnr1:.2f} dB"
+    )
+
+    section = (
+        "\n## opt_depth perturbation demo (`examples/optdepth_demo.py`)\n\n"
+        f"Loaded the epoch-{tr.epoch} checkpoint, corrupted all translations "
+        f"with U(-{args.noise}, {args.noise}) m noise, ran the translation-only "
+        "opt_depth pass (depth-order + silhouette vs the SAM masks):\n\n"
+        "| | max \\|err\\| (cm) | rmse (cm) | val PSNR (dB) |\n|---|---|---|---|\n"
+        f"| perturbed | {err0*100:.1f} | {rmse0*100:.2f} | {psnr0:.2f} |\n"
+        f"| after opt_depth | {err1*100:.1f} | {rmse1*100:.2f} | {psnr1:.2f} |\n"
+    )
+    with open(args.out, "a") as f:
+        f.write(section)
+    print(f"appended demo section to {args.out}")
+    with open(os.path.join(args.run_dir, "optdepth_demo.json"), "w") as f:
+        json.dump({"err0": err0, "err1": err1, "rmse0": rmse0, "rmse1": rmse1,
+                   "psnr0": psnr0, "psnr1": psnr1, "wall_s": wall}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,11 +60,25 @@ def _pad_mesh_to(verts: np.ndarray, faces: np.ndarray, v_to: int, f_to: int):
     return verts_p, faces_p
 
 
+def _bucket_size(n: int, base: int) -> int:
+    """Next power-of-two bucket >= n (floored at `base`).
+
+    Linear buckets (ceil to a multiple of base) gave one XLA compile per
+    distinct mesh size — a learned-mesh refresh mid-training could stall a
+    pose/depth epoch for minutes on a fresh compile. Power-of-two buckets
+    bound the number of jit shapes at log2(range) for <=2x padding (the
+    padded work is linear in faces, the recompiles are not)."""
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
 def _pad_mesh(verts: np.ndarray, faces: np.ndarray, bucket: int = 8192):
     """Pad mesh arrays to bucketed sizes so jitted pose-loss steps don't
     recompile for every extraction (degenerate face 0,0,0 padding)."""
-    fv = max(((len(faces) + bucket - 1) // bucket) * bucket, bucket)
-    vv = max(((len(verts) + bucket - 1) // bucket) * bucket, bucket)
+    fv = _bucket_size(len(faces), bucket)
+    vv = _bucket_size(len(verts), bucket)
     return _pad_mesh_to(verts, faces, vv, fv)
 
 
@@ -433,12 +447,8 @@ class Trainer:
                 faces = np.asarray(self.servers[p].model.faces)
             meshes.append((verts_c, faces))
         bucket = self.mesh_pad_bucket
-        v_to = max(
-            max(((len(m[0]) + bucket - 1) // bucket) * bucket, bucket) for m in meshes
-        )
-        f_to = max(
-            max(((len(m[1]) + bucket - 1) // bucket) * bucket, bucket) for m in meshes
-        )
+        v_to = max(_bucket_size(len(m[0]), bucket) for m in meshes)
+        f_to = max(_bucket_size(len(m[1]), bucket) for m in meshes)
         padded = [_pad_mesh_to(v, f, v_to, f_to) for v, f in meshes]
         return PoseLossBatch(
             verts_c=jnp.asarray(np.stack([m[0] for m in padded])),
