@@ -43,16 +43,56 @@ def lift(x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, intrinsics: jnp.ndarray
     return jnp.stack([x_lift, y_lift, z, jnp.ones_like(z)], axis=-1)
 
 
+def quat_to_rot(q: jnp.ndarray) -> jnp.ndarray:
+    """Unit quaternion (w, x, y, z) -> (3, 3) rotation (rend_util.py:90-108)."""
+    q = q / jnp.linalg.norm(q)
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    return jnp.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+
+
+def rot_to_quat(R: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3) rotation -> unit quaternion (w, x, y, z) (rend_util.py:110-128).
+
+    Assumes trace(R) > -1 (true for camera poses near identity, as in the
+    reference's implementation, which uses the same single-branch formula)."""
+    w = jnp.sqrt(jnp.maximum(1.0 + R[0, 0] + R[1, 1] + R[2, 2], 1e-12)) / 2
+    return jnp.array(
+        [
+            w,
+            (R[2, 1] - R[1, 2]) / (4 * w),
+            (R[0, 2] - R[2, 0]) / (4 * w),
+            (R[1, 0] - R[0, 1]) / (4 * w),
+        ]
+    )
+
+
+def pose_from_quat7(pose7: jnp.ndarray) -> jnp.ndarray:
+    """(7,) [quat wxyz | cam_loc] -> (4, 4) camera-to-world
+    (rend_util.get_camera_params quaternion branch, :46-51)."""
+    p = jnp.eye(4)
+    p = p.at[:3, :3].set(quat_to_rot(pose7[:4]))
+    return p.at[:3, 3].set(pose7[4:])
+
+
 def get_camera_params(
     uv: jnp.ndarray,  # (N, 2) pixel coordinates
-    pose: jnp.ndarray,  # (4, 4) camera-to-world
+    pose: jnp.ndarray,  # (4, 4) camera-to-world, or (7,) [quat | loc]
     intrinsics: jnp.ndarray,  # (3, 3) or (4, 4)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Pixel coords -> world-space unit ray directions + camera location.
 
     Unbatched (one camera); vmap over frames. Matches
-    rend_util.get_camera_params for the matrix-pose branch.
+    rend_util.get_camera_params for both pose representations (the 7-vector
+    quaternion form is used by IDR-style datasets with trainable cameras).
     """
+    if pose.ndim == 1:
+        pose = pose_from_quat7(pose)
     cam_loc = pose[:3, 3]
     z = jnp.ones_like(uv[:, 0])
     pts_cam = lift(uv[:, 0], uv[:, 1], z, intrinsics)  # (N,4)

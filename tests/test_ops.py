@@ -237,3 +237,41 @@ def test_soa_affine_rows_match_aos():
     # inverse(forward(x)) == x
     rt = np.asarray(affine_inverse_apply_rows(m, affine_apply_rows(m, jnp.asarray(x))))
     np.testing.assert_allclose(rt, x, atol=1e-4)
+
+
+def test_quat_camera_params():
+    """quat<->rot roundtrip vs scipy; the 7-vector pose branch of
+    get_camera_params matches the matrix branch (rend_util.py:46-128)."""
+    from scipy.spatial.transform import Rotation
+
+    from multiply_tpu.utils.cameras import (
+        get_camera_params,
+        pose_from_quat7,
+        quat_to_rot,
+        rot_to_quat,
+    )
+
+    rng = np.random.default_rng(7)
+    # keep trace(R) > -1 (the reference's single-branch rot_to_quat assumes it)
+    rotvec = rng.uniform(-1.2, 1.2, 3)
+    R = Rotation.from_rotvec(rotvec).as_matrix().astype(np.float32)
+    q_scipy = Rotation.from_rotvec(rotvec).as_quat()  # xyzw
+    q_wxyz = np.array([q_scipy[3], *q_scipy[:3]], np.float32)
+
+    np.testing.assert_allclose(np.asarray(quat_to_rot(jnp.asarray(q_wxyz))), R, atol=1e-5)
+    q_back = np.asarray(rot_to_quat(jnp.asarray(R)))
+    np.testing.assert_allclose(q_back * np.sign(q_back[0]), q_wxyz * np.sign(q_wxyz[0]), atol=1e-5)
+
+    loc = rng.standard_normal(3).astype(np.float32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, :3] = R
+    pose[:3, 3] = loc
+    pose7 = jnp.asarray(np.concatenate([q_wxyz, loc]))
+    np.testing.assert_allclose(np.asarray(pose_from_quat7(pose7)), pose, atol=1e-5)
+
+    K = np.array([[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]], np.float32)
+    uv = jnp.asarray(rng.uniform(0, 60, (50, 2)).astype(np.float32))
+    d1, c1 = get_camera_params(uv, jnp.asarray(pose), jnp.asarray(K))
+    d2, c2 = get_camera_params(uv, pose7, jnp.asarray(K))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
