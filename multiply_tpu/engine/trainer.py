@@ -620,7 +620,11 @@ class Trainer:
                 np.asarray(self.servers[p].verts_c),
                 res_up=self.mesh_res_up,
             )
-            meshes.append(_pad_mesh(verts_c, faces, bucket=self.mesh_pad_bucket))
+            meshes.append((verts_c, faces))
+        # shared bucket across persons: the jitted loss takes stacked meshes
+        v_to = max(_bucket_size(len(m[0]), self.mesh_pad_bucket) for m in meshes)
+        f_to = max(_bucket_size(len(m[1]), self.mesh_pad_bucket) for m in meshes)
+        meshes = [_pad_mesh_to(v, f, v_to, f_to) for v, f in meshes]
 
         scale = float(self.seq.scale)
         pose_cam = jnp.asarray(item["pose"])
@@ -639,55 +643,19 @@ class Trainer:
         sam_probs = jnp.asarray(sam_probs_full[vy[sel], vx[sel]])
         scale_to_full = n_valid / M
 
-        deformers = [
-            jax.tree.map(lambda x: x[p], self.person_state.deformer)
-            for p in range(self.num_person)
-        ]
-        servers = self.servers
-        P_count = self.num_person
         ep = self.epoch
         d_sched = float(depth_loss_schedule(1.0, ep))
 
-        verts_c_list = [jnp.asarray(m[0]) for m in meshes]
-        faces_list = [jnp.asarray(m[1]) for m in meshes]
+        verts_all = jnp.stack([jnp.asarray(m[0]) for m in meshes])  # (P,V,3)
+        faces_all = jnp.stack([jnp.asarray(m[1]) for m in meshes])  # (P,F,3)
 
-        def loss_fn(body_params, key):
-            ray_d, cam_loc = get_camera_params(jnp.asarray(uv), pose_cam, intr)
-            ray_o = jnp.broadcast_to(cam_loc, ray_d.shape)
-            verts_d = []
-            for p in range(P_count):
-                table = jax.tree.map(lambda x: x[p], body_params)
-                thetas = jnp.concatenate(
-                    [table.global_orient[frame_idx], table.body_pose[frame_idx]]
-                )
-                out = servers[p](
-                    jnp.asarray(scale), table.transl[frame_idx], thetas, table.betas[0]
-                )
-                vd = deformers[p].forward(verts_c_list[p], out["smpl_tfs"])
-                verts_d.append(vd / scale)
-            # rays are in normalized space; meshes were unscaled like the
-            # reference's renderer (1/scale) — transform rays equivalently
-            d_loss, _ = sparse_depth_order_loss(
-                ray_o / scale, ray_d, verts_d, faces_list, sam_probs,
-                scale_to_full=scale_to_full,
-            )
-            i_loss = interpenetration_loss(
-                verts_d, faces_list, key, num_samples=self.interp_samples
-            )
-            total = (
-                self.depth_order_weight * d_sched * d_loss
-                + self.interpenetration_weight * d_sched * i_loss
-            )
-            if self.silhouette_weight > 0:
-                from .pose_losses import sparse_silhouette_loss
-
-                s_loss = sparse_silhouette_loss(
-                    ray_o / scale, ray_d, verts_d, faces_list, sam_probs
-                )
-                total = total + self.silhouette_weight * d_sched * s_loss
-            return total
-
-        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        grad_fn = self._depth_grad_fn()
+        consts = (
+            jnp.asarray(uv), pose_cam, intr, jnp.asarray(frame_idx),
+            verts_all, faces_all, sam_probs,
+            jnp.asarray(scale_to_full, jnp.float32),
+            jnp.asarray(d_sched, jnp.float32), jnp.asarray(scale),
+        )
         opt_state = adam_init(body)
         lr = jnp.asarray(self.conf.model.learning_rate)
         if self.depth_pose:
@@ -704,7 +672,7 @@ class Trainer:
         params = body
         for it in range(self.it_per_loop):
             self.key, k = jax.random.split(self.key)
-            val, grads = grad_fn(params, k)
+            val, grads = grad_fn(params, k, *consts)
             params, opt_state = adam_update(
                 grads, opt_state, params, lr, None, active
             )
@@ -713,6 +681,63 @@ class Trainer:
         self.ts = self.ts._replace(
             params={"net": self.ts.params["net"], "body": params}
         )
+
+    def _depth_grad_fn(self):
+        """One persistent jitted value_and_grad for the opt_depth loss: frame
+        data (meshes, camera, pixels) are traced ARGUMENTS, so the XLA
+        compilation is shared across frames/epochs with the same mesh bucket —
+        the closure-per-frame version recompiled the whole ray-mesh graph for
+        every frame (minutes each on the host)."""
+        if getattr(self, "_depth_grad", None) is None:
+            deformers = [
+                jax.tree.map(lambda x: x[p], self.person_state.deformer)
+                for p in range(self.num_person)
+            ]
+            servers = self.servers
+            P_count = self.num_person
+            sil_weight = float(self.silhouette_weight)  # trace-time constant
+
+            def loss_fn(body_params, key, uv, pose_cam, intr, frame_idx,
+                        verts_all, faces_all, sam_probs, scale_to_full,
+                        d_sched, scale):
+                ray_d, cam_loc = get_camera_params(uv, pose_cam, intr)
+                ray_o = jnp.broadcast_to(cam_loc, ray_d.shape)
+                verts_d, faces_list = [], []
+                for p in range(P_count):
+                    table = jax.tree.map(lambda x: x[p], body_params)
+                    thetas = jnp.concatenate(
+                        [table.global_orient[frame_idx], table.body_pose[frame_idx]]
+                    )
+                    out = servers[p](
+                        scale, table.transl[frame_idx], thetas, table.betas[0]
+                    )
+                    vd = deformers[p].forward(verts_all[p], out["smpl_tfs"])
+                    verts_d.append(vd / scale)
+                    faces_list.append(faces_all[p])
+                # rays are in normalized space; meshes were unscaled like the
+                # reference's renderer (1/scale) — transform rays equivalently
+                d_loss, _ = sparse_depth_order_loss(
+                    ray_o / scale, ray_d, verts_d, faces_list, sam_probs,
+                    scale_to_full=scale_to_full,
+                )
+                i_loss = interpenetration_loss(
+                    verts_d, faces_list, key, num_samples=self.interp_samples
+                )
+                total = (
+                    self.depth_order_weight * d_sched * d_loss
+                    + self.interpenetration_weight * d_sched * i_loss
+                )
+                if sil_weight > 0:
+                    from .pose_losses import sparse_silhouette_loss
+
+                    s_loss = sparse_silhouette_loss(
+                        ray_o / scale, ray_d, verts_d, faces_list, sam_probs
+                    )
+                    total = total + sil_weight * d_sched * s_loss
+                return total
+
+            self._depth_grad = jax.jit(jax.value_and_grad(loss_fn))
+        return self._depth_grad
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)
