@@ -487,7 +487,11 @@ class Trainer:
         import threading
 
         order = self.rng.permutation(self.num_frames)
+        # separate generators: item_rng is consumed by the producer thread,
+        # pose_rng by the main thread's pose_loss_batch — numpy Generators are
+        # not thread-safe, so sharing one would race every MODE_POSE_ONLY step
         item_rng = np.random.default_rng(self.rng.integers(0, 2**31))
+        pose_rng = np.random.default_rng(self.rng.integers(0, 2**31))
         q: queue.Queue = queue.Queue(maxsize=2)
 
         def producer():
@@ -508,7 +512,7 @@ class Trainer:
             mode = self._select_mode(item.get("is_certain", True), has_sam)
             batch = self.make_batch(item, mode)
             pose_batch = (
-                self.pose_loss_batch(int(item["idx"]), item_rng)
+                self.pose_loss_batch(int(item["idx"]), pose_rng)
                 if mode == MODE_POSE_ONLY
                 else None
             )

@@ -32,7 +32,7 @@ SMPL_TO_COCO17 = jnp.asarray(
 # maps); entries of -1 have no SMPL correspondent and are zero-weighted.
 SMPL_TO_OPENPOSE25 = jnp.asarray(
     [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
-     25, 26, 28, 27, -1, -1, -1, -1, -1, -1]
+     25, 26, 27, 28, -1, -1, -1, -1, -1, -1]
 )
 # reference loss.py:29-31 ignores neck/hips for the 25-kpt loss
 OPENPOSE_IGNORED = (1, 9, 12)

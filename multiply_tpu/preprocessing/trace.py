@@ -30,10 +30,12 @@ from .pipeline import TraceInputs
 TRACE_TO_COCO17 = np.asarray(
     [24, 26, 25, 28, 27, 16, 17, 18, 19, 20, 21, 1, 2, 4, 5, 7, 8]
 )
-# BODY_25 layout; -1 = no SMPL correspondent (feet/face extras), zero-conf
+# BODY_25 layout; -1 = no SMPL correspondent (feet extras), zero-conf.
+# Eye/ear tail matches the reference's smpl2op map
+# (preprocessing_utils.py:43: [..., 25, 26, 27, 28]).
 TRACE_TO_OPENPOSE25 = np.asarray(
     [24, 12, 17, 19, 21, 16, 18, 20, 0, 2, 5, 8, 1, 4, 7,
-     25, 26, 28, 27, -1, -1, -1, -1, -1, -1]
+     25, 26, 27, 28, -1, -1, -1, -1, -1, -1]
 )
 
 
@@ -52,6 +54,8 @@ def reformat_trace_output(outputs: dict) -> dict:
     person_of = {int(v): i for i, v in enumerate(unique_ids)}
     P, F = len(unique_ids), len(used_frames)
 
+    valid = np.zeros((P, F), bool)
+
     def gather(key, trailing):
         src = np.asarray(outputs[key])
         out = np.zeros((P, F) + trailing, np.float32)
@@ -59,6 +63,7 @@ def reformat_trace_output(outputs: dict) -> dict:
             p = person_of[int(track_ids[det])]
             f = frame_of[int(reorganize_idx[det])]
             out[p, f] = src[det]
+            valid[p, f] = True
         return out
 
     j3d = np.asarray(outputs["j3d"])
@@ -69,6 +74,7 @@ def reformat_trace_output(outputs: dict) -> dict:
         "cam_trans": gather("cam_trans", (3,)),
         "joints": gather("j3d", j3d.shape[1:]),
         "pj2d_org": gather("pj2d_org", pj2d.shape[1:]),
+        "valid": valid,  # (P, F) frames where the track was actually detected
     }
 
 
@@ -111,19 +117,29 @@ def load_keypoint_npys(
     nms_center_px: float = 50.0,
     nms_kp_px: float = 30.0,
     gate_px: float = 200.0,
+    sel: list[int] | None = None,  # raw frame numbers kept by start/end/skip
 ) -> np.ndarray:
     """Per-frame detection npys -> per-track keypoints.
 
     Each `<frame>.npy` holds (D, 17, 3) detections (ViTPose layout,
-    vitpose_trace.py output). NMS drops duplicates; Hungarian matching by
-    confidence-weighted center assigns detections to tracked persons
-    (vitpose_trace.py:206-269). Unmatched persons keep the fallback.
+    vitpose_trace.py output), named by *raw* frame number. When `sel` is
+    given (the start/skip subselection applied to `tracked_kp`), filenames
+    are mapped through it so detections land on the right rows; files for
+    frames outside the selection are skipped. NMS drops duplicates;
+    Hungarian matching by confidence-weighted center assigns detections to
+    tracked persons (vitpose_trace.py:206-269). Unmatched persons keep the
+    fallback.
     """
     F, P = tracked_kp.shape[:2]
     out = tracked_kp.copy()
+    row_of = {int(v): i for i, v in enumerate(sel)} if sel is not None else None
     files = sorted(glob.glob(os.path.join(kp_dir, "*.npy")))
     for path in files:
         f = int(os.path.splitext(os.path.basename(path))[0])
+        if row_of is not None:
+            if f not in row_of:
+                continue
+            f = row_of[f]
         if f >= F:
             continue
         dets = np.asarray(np.load(path), np.float32)
@@ -221,16 +237,25 @@ def trace_inputs_from_files(
 
     kp = _keypoints_from_pj2d(results["pj2d_org"], kp_format)[sel]
     if keypoints_dir is not None:
-        kp = load_keypoint_npys(keypoints_dir, kp)
+        kp = load_keypoint_npys(keypoints_dir, kp, sel=sel)
     elif vitpose_checkpoint is not None:
         if kp_format != "coco17":
             raise ValueError("ViTPose inference emits COCO-17 keypoints")
         kp = vitpose_keypoints(images, kp, checkpoint=vitpose_checkpoint)
 
+    # per-person mean shape over frames the track was actually detected in
+    # (zero-filled rows for undetected frames would bias partial tracks)
+    if "valid" in results:
+        v = np.asarray(results["valid"], bool)[..., None]  # (P, F, 1)
+        denom = np.maximum(v.sum(axis=1), 1)
+        betas_mean = (betas_pf * v).sum(axis=1) / denom
+    else:
+        betas_mean = betas_pf.mean(axis=1)
+
     return TraceInputs(
         images=images,
         poses=np.moveaxis(thetas, 0, 1)[sel],
-        betas=betas_pf.mean(axis=1),  # per-person mean shape over frames
+        betas=betas_mean,
         trans=np.moveaxis(cam_trans, 0, 1)[sel],
         keypoints_2d=kp,
         genders=list(genders) if genders is not None else ["neutral"] * P,
