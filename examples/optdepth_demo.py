@@ -61,6 +61,8 @@ def main():
                 "mesh_pad_bucket": 4096,
                 "interp_samples": 1024,
                 "depth_pixel_samples": 1024,
+                "depth_render_rays": 128,  # render-anchor rays (CPU budget;
+                # reference samples 512, multiply_model.py:335)
                 "loss": {"sam_start_epoch": 40},
             },
             "dataset": {"train": {"num_sample": 128, "end_frame": 4,

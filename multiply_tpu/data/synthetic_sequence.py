@@ -76,6 +76,22 @@ class SyntheticSequence:
             s = np.sort(self.smpl_sam_iou)
             self.uncertain_threshold = s[int(len(s) * self.ratio_uncertain)]
 
+    def load_frame(self, idx: int) -> dict:
+        """Full-image arrays in the Hi4DSequence.load_frame layout (used by
+        opt_depth's per-iteration render-anchor ray sampling)."""
+        scene = self.scene
+        uv = np.stack(
+            np.meshgrid(np.arange(scene.width), np.arange(scene.height), indexing="xy"),
+            axis=-1,
+        ).astype(np.float32)
+        masks = [scene.masks[idx][..., p] for p in range(self.num_person)]
+        return {
+            "img": scene.images[idx],
+            "mask_union": np.stack(masks, -1).sum(-1),
+            "uv": uv,
+            "masks": masks,
+        }
+
     def get_train_item(self, idx: int, rng: np.random.Generator) -> dict:
         if self.using_sam:
             self._refresh_sam()

@@ -41,6 +41,70 @@ class PriorSegmenter:
         return logits
 
 
+class ColorPromptPredictor:
+    """Checkpoint-free IMAGE-DRIVEN predictor with the SamPredictor contract.
+
+    Segments by color similarity to the prompt's positive/negative points:
+    the mask follows the image evidence, not the geometric prior — so bad
+    prompts (from a mis-posed body) produce bad masks and good prompts
+    recover good masks, which is exactly the property needed to exercise the
+    progressive mask self-refinement loop (multiply_model.py:489-519) without
+    SAM weights. The box gates the output and the mask prior contributes a
+    weak additive term, mirroring how SAMServer chains its three predicts
+    (sam_model.py:192-217).
+    """
+
+    def __init__(self, sharpness: float = 40.0, prior_weight: float = 0.25):
+        self.sharpness = sharpness
+        self.prior_weight = prior_weight
+        self._img: np.ndarray | None = None
+
+    def set_image(self, img: np.ndarray) -> None:
+        img = np.asarray(img, np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+        self._img = img
+
+    def predict(self, point_coords, point_labels, box, mask_input_logits):
+        img = self._img
+        H, W = img.shape[:2]
+        pts = np.asarray(point_coords, np.int64).reshape(-1, 2)
+        labels = np.asarray(point_labels).reshape(-1)
+        px = np.clip(pts[:, 0], 0, W - 1)
+        py = np.clip(pts[:, 1], 0, H - 1)
+        colors = img[py, px]  # (N, 3)
+
+        pos = colors[labels == 1]
+        if len(pos) == 0:
+            return np.full((H, W), -8.0, np.float32)
+        d_pos = np.linalg.norm(
+            img[None] - pos[:, None, None], axis=-1
+        ).min(0)  # (H, W) distance to nearest positive prompt color
+        neg = colors[labels == 0]
+        if len(neg):
+            d_neg = np.linalg.norm(img[None] - neg[:, None, None], axis=-1).min(0)
+        else:
+            d_neg = np.full((H, W), 0.35, np.float32)
+        logits = self.sharpness * (np.minimum(d_neg, 0.35) - d_pos - 0.05)
+
+        if mask_input_logits is not None:
+            prior = np.asarray(mask_input_logits, np.float32)
+            if prior.shape != (H, W):
+                import cv2
+
+                side = max(H, W)
+                up = cv2.resize(prior, (side, side))
+                prior = up[:H, :W]
+            logits = logits + self.prior_weight * np.clip(prior, -8.0, 8.0)
+
+        if box is not None:
+            x0, y0, x1, y1 = np.asarray(box, np.int64)
+            gate = np.full((H, W), -8.0, np.float32)
+            gate[max(0, y0) : min(H, y1 + 1), max(0, x0) : min(W, x1 + 1)] = 0.0
+            logits = np.minimum(logits, 8.0) + gate
+        return np.clip(logits, -12.0, 12.0).astype(np.float32)
+
+
 class SamSegmenter:
     """Promptable-segmentation stage driven by a predict() backend.
 

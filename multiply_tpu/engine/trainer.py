@@ -27,8 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..body.params import BodyParamTable
-from ..models.loss import LossConfig
-from ..models.renderer import MultiplyRenderer
+from ..data.dataset import weighted_sampling
+from ..models.loss import LossConfig, total_loss
+from ..models.renderer import MultiplyRenderer, RenderInputs
 from ..ops.mesh_ops import sdf_grid
 from ..utils.cameras import get_camera_params
 from .instance_masks import run_instance_mask_stage
@@ -503,6 +504,7 @@ class Trainer:
         t.start()
 
         logs = None
+        mode_counts = {MODE_JOINT: 0, MODE_POSE_ONLY: 0, MODE_DELAYED_POSE: 0}
         self.ts = self.ts._replace(epoch=jnp.asarray(self.epoch, jnp.int32))
         while True:
             item = q.get()
@@ -510,6 +512,7 @@ class Trainer:
                 break
             has_sam = "sam_mask" in item
             mode = self._select_mode(item.get("is_certain", True), has_sam)
+            mode_counts[mode] += 1
             batch = self.make_batch(item, mode)
             pose_batch = (
                 self.pose_loss_batch(int(item["idx"]), pose_rng)
@@ -519,7 +522,11 @@ class Trainer:
             self.key, k = jax.random.split(self.key)
             self.ts, logs = self._run_step(batch, k, pose_batch)
         t.join()
-        return {k: float(v) for k, v in (logs or {}).items()}
+        out = {k: float(v) for k, v in (logs or {}).items()}
+        out["n_joint"] = float(mode_counts[MODE_JOINT])
+        out["n_pose_only"] = float(mode_counts[MODE_POSE_ONLY])
+        out["n_delayed_pose"] = float(mode_counts[MODE_DELAYED_POSE])
+        return out
 
     def fit(self, max_epochs: int, log_every: int = 10, ckpt_every: int = 100,
             val_every: int = 50, ckpt_dir: str | None = None,
@@ -608,6 +615,8 @@ class Trainer:
     def _opt_depth_frame(self, frame_idx: int) -> None:
         item = self.seq.get_eval_item(frame_idx)
         H, W = item["img_size"]
+        frame = self.seq.load_frame(frame_idx)  # full-image arrays for the
+        # per-iteration render-anchor ray sampling
         sam = self.seq._sam_masks[frame_idx]  # (H, W, P) logits
         sam_probs_full = 1.0 / (1.0 + np.exp(-sam))
 
@@ -660,6 +669,20 @@ class Trainer:
             jnp.asarray(scale_to_full, jnp.float32),
             jnp.asarray(d_sched, jnp.float32), jnp.asarray(scale),
         )
+        anchor_consts = (
+            self.ts.params["net"],
+            self.person_state,
+            jnp.asarray(self.epoch, jnp.int32),
+        )
+        # render-anchor ray sampling data (reference weighted-samples 512
+        # fresh rays per iteration, multiply_model.py:332-336)
+        n_rays = int(self.conf.model.get("depth_render_rays", 512))
+        ray_data = {
+            "rgb": frame["img"],
+            "uv": frame["uv"],
+            "object_mask": frame["mask_union"],
+            "sam_mask": sam,  # logits; the loss sigmoids them
+        }
         opt_state = adam_init(body)
         lr = jnp.asarray(self.conf.model.learning_rate)
         if self.depth_pose:
@@ -675,23 +698,47 @@ class Trainer:
 
         params = body
         for it in range(self.it_per_loop):
+            samples, _ = weighted_sampling(ray_data, (H, W), n_rays, self.rng)
+            rays = (
+                jnp.asarray(samples["uv"], jnp.float32),
+                jnp.asarray(samples["rgb"], jnp.float32),
+                jnp.asarray(samples["sam_mask"], jnp.float32),
+            )
             self.key, k = jax.random.split(self.key)
-            val, grads = grad_fn(params, k, *consts)
+            (val, parts), grads = grad_fn(
+                params, k, *consts, *rays, *anchor_consts
+            )
             params, opt_state = adam_update(
                 grads, opt_state, params, lr, None, active
             )
             if it == 0 or it == self.it_per_loop - 1:
-                print(f"  opt_depth frame {frame_idx} it {it}: {float(val):.4f}")
+                print(
+                    f"  opt_depth frame {frame_idx} it {it}: "
+                    f"total={float(val):.4f} "
+                    f"depth={float(parts['depth_order']):.4f} "
+                    f"interp={float(parts['interpenetration']):.4f} "
+                    f"render={float(parts['render']):.4f}"
+                )
+                self._dump_depth_maps(
+                    frame_idx, it, item, params, meshes, sam_probs_full
+                )
         self.ts = self.ts._replace(
             params={"net": self.ts.params["net"], "body": params}
         )
 
     def _depth_grad_fn(self):
         """One persistent jitted value_and_grad for the opt_depth loss: frame
-        data (meshes, camera, pixels) are traced ARGUMENTS, so the XLA
-        compilation is shared across frames/epochs with the same mesh bucket —
-        the closure-per-frame version recompiled the whole ray-mesh graph for
-        every frame (minutes each on the host)."""
+        data (meshes, camera, pixels, anchor rays) are traced ARGUMENTS, so
+        the XLA compilation is shared across frames/epochs with the same mesh
+        bucket — the closure-per-frame version recompiled the whole ray-mesh
+        graph for every frame (minutes each on the host).
+
+        The objective is the reference's exact opt_depth composition
+        (multiply_model.py:360-384,465-478): mesh depth-order +
+        interpenetration terms PLUS the full model render loss on freshly
+        weighted-sampled rays, added unweighted. The render anchor is what
+        keeps the translation pass from drifting in-plane; gradients flow to
+        the body params only (net params enter as non-differentiated args)."""
         if getattr(self, "_depth_grad", None) is None:
             deformers = [
                 jax.tree.map(lambda x: x[p], self.person_state.deformer)
@@ -700,10 +747,15 @@ class Trainer:
             servers = self.servers
             P_count = self.num_person
             sil_weight = float(self.silhouette_weight)  # trace-time constant
+            renderer = self.renderer
+            loss_cfg = self.loss_cfg
+            cond_zero = bool(self.depth_cond_zero)
 
             def loss_fn(body_params, key, uv, pose_cam, intr, frame_idx,
                         verts_all, faces_all, sam_probs, scale_to_full,
-                        d_sched, scale):
+                        d_sched, scale,
+                        ray_uv, ray_rgb, ray_sam, net_params, person_state,
+                        epoch):
                 ray_d, cam_loc = get_camera_params(uv, pose_cam, intr)
                 ray_o = jnp.broadcast_to(cam_loc, ray_d.shape)
                 verts_d, faces_list = [], []
@@ -727,10 +779,9 @@ class Trainer:
                 i_loss = interpenetration_loss(
                     verts_d, faces_list, key, num_samples=self.interp_samples
                 )
-                total = (
-                    self.depth_order_weight * d_sched * d_loss
-                    + self.interpenetration_weight * d_sched * i_loss
-                )
+                d_w = self.depth_order_weight * d_sched * d_loss
+                i_w = self.interpenetration_weight * d_sched * i_loss
+                total = d_w + i_w
                 if sil_weight > 0:
                     from .pose_losses import sparse_silhouette_loss
 
@@ -738,10 +789,108 @@ class Trainer:
                         ray_o / scale, ray_d, verts_d, faces_list, sam_probs
                     )
                     total = total + sil_weight * d_sched * s_loss
-                return total
 
-            self._depth_grad = jax.jit(jax.value_and_grad(loss_fn))
+                # render anchor: full forward + Loss on the sampled rays
+                # (temporal term disabled, multiply_model.py:334)
+                body = body_params
+                thetas_r = jax.vmap(lambda t: t.thetas(frame_idx))(body)
+                transl_r = jax.vmap(lambda t: t.transl[frame_idx])(body)
+                betas_r = jax.vmap(lambda t: t.betas[0])(body)
+                rinputs = RenderInputs(
+                    uv=ray_uv,
+                    pose=pose_cam,
+                    intrinsics=intr,
+                    scale=jnp.broadcast_to(scale, (P_count,)),
+                    transl=transl_r,
+                    thetas=thetas_r,
+                    betas=betas_r,
+                    frame_idx=frame_idx,
+                    epoch=epoch,
+                )
+                rout = renderer.render(
+                    net_params, person_state, rinputs, train=True,
+                    key=jax.random.fold_in(key, 3), cond_zero=cond_zero,
+                )
+                rout["temporal_loss"] = jnp.zeros(())
+                render_loss, _ = total_loss(
+                    loss_cfg, rout, ray_rgb, epoch, sam_mask_logits=ray_sam
+                )
+                total = total + render_loss
+                parts = {
+                    "depth_order": d_w,
+                    "interpenetration": i_w,
+                    "render": render_loss,
+                }
+                return total, parts
+
+            self._depth_grad = jax.jit(
+                jax.value_and_grad(loss_fn, has_aux=True)
+            )
         return self._depth_grad
+
+    def _dump_depth_maps(
+        self, frame_idx, it, item, body_params, meshes, sam_probs_full
+    ) -> None:
+        """stage_depth_map front/gt debug dumps at the first/last opt_depth
+        iteration (multiply_model.py:434-456): rasterize the deformed meshes
+        with the current translations, colormap front depth and the
+        SAM-argmax person's depth."""
+        try:
+            import cv2
+
+            from .instance_masks import project_depth
+
+            H, W = item["img_size"]
+            scale = float(self.seq.scale)
+            P_mat = item["P"] @ np.diag([scale] * 3 + [1.0])
+            depths = []
+            for p in range(self.num_person):
+                table = jax.tree.map(lambda x: x[p], body_params)
+                thetas = jnp.concatenate(
+                    [table.global_orient[frame_idx], table.body_pose[frame_idx]]
+                )
+                out = self.servers[p](
+                    jnp.asarray(scale), table.transl[frame_idx], thetas,
+                    table.betas[0],
+                )
+                deformer = jax.tree.map(
+                    lambda x: x[p], self.person_state.deformer
+                )
+                vd = np.asarray(
+                    deformer.forward(jnp.asarray(meshes[p][0]), out["smpl_tfs"])
+                ) / scale
+                vp = project_depth(P_mat, vd).astype(np.float32)
+                from ..native import rasterize_depth
+
+                depths.append(rasterize_depth(vp, meshes[p][1], W, H))
+            depth = np.stack(depths, 0)  # (P, H, W), inf = miss
+            finite = np.isfinite(depth)
+            depth_f = np.where(finite, depth, 999.0)
+            front = depth_f.min(0)
+            gt_idx = np.argmax(sam_probs_full, axis=-1)  # (H, W)
+            gt = np.take_along_axis(depth_f, gt_idx[None], axis=0)[0]
+
+            def colormap(d):
+                d = np.clip(d, 2.5, 5.0)
+                d = ((d - 2.5) / 2.5 * 255).astype(np.uint8)
+                return cv2.applyColorMap(255 - d, cv2.COLORMAP_JET)
+
+            out_dir = os.path.join(
+                self.run_dir, "stage_depth_map",
+                f"{self.epoch:05d}", f"{it:05d}",
+            )
+            os.makedirs(os.path.join(out_dir, "front"), exist_ok=True)
+            os.makedirs(os.path.join(out_dir, "gt"), exist_ok=True)
+            cv2.imwrite(
+                os.path.join(out_dir, "front", f"front_{frame_idx:04d}.png"),
+                colormap(front),
+            )
+            cv2.imwrite(
+                os.path.join(out_dir, "gt", f"gt_{frame_idx:04d}.png"),
+                colormap(gt),
+            )
+        except Exception as e:  # debug dumps must never kill the pass
+            print(f"stage_depth_map dump failed: {e}")
 
     # ------------------------------------------------------------------
     # checkpointing (orbax)

@@ -422,6 +422,9 @@ class MultiplyRenderer:
         inputs: RenderInputs,
         train: bool,
         key: jax.Array | None = None,
+        cond_zero: bool = False,  # static: force zero pose conditioning
+        # (reference cond_zero_shit flag, multiply.py:272 — used by the
+        # opt_depth render anchor under depth_cond_zero)
     ) -> dict[str, Any]:
         cfg = self.sampler_cfg
         ray_d, cam_loc = get_camera_params(inputs.uv, inputs.pose, inputs.intrinsics)
@@ -436,6 +439,8 @@ class MultiplyRenderer:
         if train:
             ep = inputs.epoch
             zero_cond = jnp.logical_or(ep < 20, ep % 20 == 0)
+            if cond_zero:
+                zero_cond = jnp.asarray(True)
             cond_pose = jnp.where(zero_cond, 0.0, cond_pose)
 
         # implicit-net conditioning: pose, or pose + person identity latent

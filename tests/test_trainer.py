@@ -35,6 +35,7 @@ def trainer(tmp_path_factory):
                 "dim_frame_encoding": 8,
                 "depth_epoch": [2],
                 "it_per_loop": 3,
+                "depth_render_rays": 32,
                 "num_training_frames": 2,
                 "cano_grid_res": 12,
                 "cano_mesh_res_up": 1,
