@@ -596,6 +596,21 @@ class Trainer:
             os.path.join(out_dir, f"epoch_{self.epoch:05d}.png"),
             (np.clip(side, 0, 1) * 255).astype(np.uint8),
         )
+        # per-person validation meshes (the reference exports .ply at every
+        # validation, multiply_model.py:1083-1122)
+        try:
+            from .mesh_export import save_ply
+
+            for p, (verts, faces) in enumerate(self.extract_canonical_meshes()):
+                save_ply(
+                    os.path.join(
+                        out_dir, f"epoch_{self.epoch:05d}_person_{p}.ply"
+                    ),
+                    verts,
+                    faces,
+                )
+        except Exception as e:
+            print(f"validation mesh export failed: {e}")
         psnr = merged.get("psnr", 0.0)
         print(f"validation epoch {self.epoch}: PSNR {psnr:.2f} dB")
         return psnr

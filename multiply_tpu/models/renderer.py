@@ -89,7 +89,21 @@ class MultiplyRenderer:
         # reference networks.py:32-39,140-148): the 69-d pose is concatenated
         # with a 64-d tri-plane feature sampled at x/2 inside _implicit
         self.triplane_on = self.fg_implicit.cond == "smpl_tri"
-        if self.triplane_on:
+        # multi-resolution pyramid + delta-SDF variant (reference
+        # networks.py:36-37 selects TriPlaneMulti via `multi_triplane`)
+        self.multi_triplane = self.triplane_on and bool(
+            conf.implicit_network.get("multi_triplane", False)
+        )
+        if self.multi_triplane:
+            from .triplane import TriPlaneMulti
+
+            self.triplane = TriPlaneMulti(
+                features=64,
+                resolutions=tuple(
+                    conf.implicit_network.get("triplane_res", (128, 64, 32, 16))
+                ),
+            )
+        elif self.triplane_on:
             from .triplane import TriPlane
 
             self.triplane = TriPlane(
@@ -265,11 +279,15 @@ class MultiplyRenderer:
         optional "head": OffsetHead params, "benc": BetaEncoder params}."""
         if not isinstance(bundle, dict):
             bundle = {"imp": bundle}
+        dsdf = None
         if "tri" in bundle:
             # smpl_tri conditioning (reference networks.py:140-148): keep the
             # first 69 pose dims (strip any person latent), append a per-point
             # tri-plane feature sampled at x/2 (the reference's range guard)
-            tri = self.triplane.apply(bundle["tri"], x * 0.5)
+            if self.multi_triplane:
+                tri, dsdf = self.triplane.apply(bundle["tri"], x * 0.5)
+            else:
+                tri = self.triplane.apply(bundle["tri"], x * 0.5)
             pose = jnp.broadcast_to(
                 cond_vec[..., :69], x.shape[:-1] + (69,)
             )
@@ -287,6 +305,15 @@ class MultiplyRenderer:
         out = self.fg_implicit.apply(
             bundle["imp"], x, cond_vec, layer0_extra=layer0_extra
         )
+        if dsdf is not None and "head" not in bundle:
+            # pyramid delta-SDF added to the SDF channel. The reference adds
+            # it only when no per-person offset head exists ("since we have
+            # separate head, we do not need dsdf here", networks.py:183-205 —
+            # with a head, the head's own delta takes over).
+            out = jnp.concatenate(
+                [out[:, :1] + dsdf[:, None].astype(out.dtype), out[:, 1:]],
+                axis=-1,
+            )
         if "head" in bundle:
             from ..ops.embedders import positional_encoding
 

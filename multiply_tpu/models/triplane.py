@@ -47,14 +47,20 @@ class TriPlane(nn.Module):
 
 class TriPlaneMulti(nn.Module):
     """Multi-resolution pyramid + adapter MLP -> (feature, delta_sdf)
-    (triplane.py:116-252)."""
+    (triplane.py:116-252): per resolution level, three feature planes are
+    bilinear-sampled and the per-plane features concatenated over levels and
+    planes; a 2x256 softplus(beta=100) adapter plus a tiny-init last layer
+    (uniform +-1e-5 weights, zero bias, triplane.py:178-181) emits a 64-d
+    identity feature and a delta-SDF. The tiny last-layer init keeps both
+    outputs ~0 at start, so the geometric SDF init survives switching the
+    pyramid on. One person's params; stack over persons and vmap."""
 
     features: int = 64
-    resolutions: Sequence[int] = (32, 64, 128)
-    adapter_width: int = 128
+    resolutions: Sequence[int] = (128, 64, 32, 16)
+    adapter_width: int = 256
 
     @nn.compact
-    def __call__(self, pts: jnp.ndarray, cond_pose: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, pts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         feats = []
         for r in self.resolutions:
             planes = self.param(
@@ -62,12 +68,21 @@ class TriPlaneMulti(nn.Module):
                 nn.initializers.normal(0.1),
                 (3, self.features, r, r),
             )
-            feats.append(sample_triplane(planes, pts))
+            # concat per plane like the reference (feat_xy|feat_xz|feat_yz
+            # each over all levels, triplane.py:236-240) — order inside the
+            # concat is immaterial to the following dense layer
+            xy = grid_sample_2d(planes[0], pts[:, (0, 1)])
+            xz = grid_sample_2d(planes[1], pts[:, (0, 2)])
+            yz = grid_sample_2d(planes[2], pts[:, (1, 2)])
+            feats.extend([xy, xz, yz])
         h = jnp.concatenate(feats, axis=-1)
-        if cond_pose is not None:
-            cp = jnp.broadcast_to(cond_pose, (pts.shape[0], cond_pose.shape[-1]))
-            h = jnp.concatenate([h, cp], axis=-1)
-        h = nn.Dense(self.adapter_width)(h)
-        h = nn.softplus(h)
-        h = nn.Dense(self.features + 1)(h)
-        return h[:, 1:], h[:, 0]  # (feature, delta_sdf)
+        h = nn.softplus(100.0 * nn.Dense(self.adapter_width)(h)) / 100.0
+        h = nn.softplus(100.0 * nn.Dense(self.adapter_width)(h)) / 100.0
+        h = nn.Dense(
+            self.features + 1,
+            kernel_init=lambda k, s, d=jnp.float32: jax.random.uniform(
+                k, s, d, -1e-5, 1e-5
+            ),
+            bias_init=nn.initializers.zeros,
+        )(h)
+        return h[:, :-1], h[:, -1]  # (feature (N,64), delta_sdf (N,))

@@ -25,8 +25,24 @@ import numpy as np
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="python -m multiply_tpu.preprocessing")
-    ap.add_argument("--trace", required=True, help="TRACE npz (raw or reformatted)")
-    ap.add_argument("--frames", required=True, help="directory of extracted frames")
+    ap.add_argument("--trace", required=True,
+                    help="TRACE npz (raw or reformatted); with --video, the "
+                         "path TRACE's output is produced at")
+    ap.add_argument("--frames", required=True,
+                    help="directory of extracted frames (with --video, the "
+                         "extraction destination)")
+    ap.add_argument("--video", default=None,
+                    help="raw video: run ffmpeg frame extraction into "
+                         "--frames and trace2 tracking to produce --trace "
+                         "first (run_preprocessing_multiply.sh:23-26)")
+    ap.add_argument("--time_start", default=None,
+                    help="ffmpeg -ss (e.g. 00:00:00), with --video")
+    ap.add_argument("--time_duration", default=None,
+                    help="ffmpeg -t (e.g. 00:00:15), with --video")
+    ap.add_argument("--subject_num", type=int, default=2,
+                    help="TRACE --subject_num, with --video")
+    ap.add_argument("--time2forget", type=int, default=40,
+                    help="TRACE --time2forget, with --video")
     ap.add_argument("--out", required=True, help="output training data directory")
     ap.add_argument("--keypoints", default=None,
                     help="dir of per-frame keypoint npys (D,J,3); falls back "
@@ -52,6 +68,27 @@ def main(argv=None) -> None:
     from ..body import SMPLServer, synthetic_body_model
     from .pipeline import preprocess_sequence
     from .trace import trace_inputs_from_files
+
+    if args.video is not None:
+        from .video import extract_frames, run_trace
+
+        frames = extract_frames(
+            args.video, args.frames,
+            time_start=args.time_start, time_duration=args.time_duration,
+        )
+        print(f"extracted {len(frames)} frames -> {args.frames}")
+        if not os.path.exists(args.trace):
+            npz = run_trace(
+                args.frames,
+                os.path.join(os.path.dirname(args.trace) or ".", "trace_results"),
+                subject_num=args.subject_num,
+                time2forget=args.time2forget,
+            )
+            os.makedirs(os.path.dirname(args.trace) or ".", exist_ok=True)
+            import shutil
+
+            shutil.copyfile(npz, args.trace)
+            print(f"trace results -> {args.trace}")
 
     K = None
     if args.focal is not None:

@@ -97,9 +97,12 @@ def test_triplane_multi_outputs():
     from multiply_tpu.models.triplane import TriPlaneMulti
 
     net = TriPlaneMulti(features=8, resolutions=(8, 16))
-    pts = jnp.zeros((5, 3))
-    cond = jnp.zeros((69,))
-    params = net.init(jax.random.PRNGKey(1), pts, cond)
-    feat, dsdf = net.apply(params, pts, cond)
+    pts = jnp.linspace(-0.5, 0.5, 15).reshape(5, 3)
+    params = net.init(jax.random.PRNGKey(1), pts)
+    feat, dsdf = net.apply(params, pts)
     assert feat.shape == (5, 8)
     assert dsdf.shape == (5,)
+    # tiny last-layer init (triplane.py:178-181): outputs ~0 at start so the
+    # geometric SDF init survives enabling the pyramid
+    assert float(jnp.abs(dsdf).max()) < 1e-3
+    assert float(jnp.abs(feat).max()) < 1e-3

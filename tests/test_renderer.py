@@ -272,3 +272,85 @@ def test_smpl_tri_conditioning_trains():
     gp = np.asarray(g["triplane"]["params"]["planes"])
     assert np.isfinite(gp).all()
     assert np.abs(gp).max() > 0, "no gradient reached the tri-planes"
+
+
+def test_multi_triplane_dsdf_trains():
+    """multi_triplane: true routes TriPlaneMulti (reference networks.py:36-37)
+    — the pyramid's delta-SDF is added to the SDF output, so SDF-dependent
+    losses reach the plane pyramid even while the conditioning columns are
+    still silent from geometric init (the Δsdf path bypasses the cond
+    concat entirely)."""
+    from multiply_tpu.body import SMPLServer, synthetic_body_model
+
+    import copy
+
+    conf = Config(copy.deepcopy(TINY_CONF.to_dict()))
+    conf.implicit_network["cond"] = "smpl_tri"
+    conf.implicit_network["multi_triplane"] = True
+    conf.implicit_network["triplane_res"] = [8, 16]
+
+    model = synthetic_body_model()
+    servers = [
+        SMPLServer.create(model, betas=np.zeros(10)),
+        SMPLServer.create(model, betas=np.ones(10) * 0.2),
+    ]
+    renderer = MultiplyRenderer(conf, num_persons=2, num_frames=4)
+    assert renderer.triplane_on and renderer.multi_triplane
+    state = renderer.build_person_state(servers, grid_res=12)
+    params = renderer.init_params(jax.random.PRNGKey(0))
+    tri = params["triplane"]["params"]
+    assert tri["planes_8"].shape == (2, 3, 64, 8, 8)
+    assert tri["planes_16"].shape == (2, 3, 64, 16, 16)
+
+    inputs = make_inputs(4)
+    out = renderer.render(params, state, inputs, train=True, key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out["rgb_values"])).all()
+
+    def sdf_loss(p):
+        o = renderer.render(p, state, inputs, train=True, key=jax.random.PRNGKey(1))
+        return (
+            jnp.mean(o["rgb_values"] ** 2)
+            + jnp.mean((jnp.linalg.norm(o["grad_theta"], axis=-1) - 1.0) ** 2)
+        )
+
+    g = jax.grad(sdf_loss)(params)
+    g_tri = g["triplane"]["params"]
+    leaves = jax.tree_util.tree_leaves(g_tri)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # the Δsdf path contributes gradients at geometric init — unlike the
+    # cond-concat path, it does not wait for the cond columns to wake up
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves), (
+        "Δsdf path contributed no gradient to the pyramid"
+    )
+
+    # one training step moves the pyramid params
+    from multiply_tpu.body.params import BodyParamTable
+    from multiply_tpu.engine.train import Batch, TrainStep
+    from multiply_tpu.models.loss import LossConfig
+
+    tables = [
+        BodyParamTable.create(
+            4,
+            betas=np.zeros(10, np.float32),
+            global_orient=np.zeros((4, 3), np.float32),
+            transl=np.zeros((4, 3), np.float32),
+            body_pose=np.tile(np.asarray(canonical_pose_params())[3:], (4, 1)),
+        )
+        for _ in range(2)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *tables)
+    builder = TrainStep(renderer, state, LossConfig())
+    ts = builder.init_state(jax.random.PRNGKey(2), stacked)
+    batch = Batch(
+        uv=inputs.uv,
+        rgb=jnp.zeros((4, 3)),
+        pose=inputs.pose,
+        intrinsics=inputs.intrinsics,
+        frame_idx=jnp.asarray(0),
+        smpl_scale=jnp.ones((2,)),
+    )
+    before = np.asarray(ts.params["net"]["triplane"]["params"]["planes_8"])
+    ts2, logs = jax.jit(builder.step)(ts, batch, jax.random.PRNGKey(3), state)
+    after = np.asarray(ts2.params["net"]["triplane"]["params"]["planes_8"])
+    assert np.isfinite(float(logs["loss"]))
+    assert not np.allclose(before, after), "training did not move the pyramid"
