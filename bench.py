@@ -1,6 +1,12 @@
 """Benchmark: full-scale training-step throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+`value` is the STRICT-f32 parity preset (every sampler eval in f32, full
+near-far march) so vs_baseline is an honest like-for-like against the
+reference; `fast_value` is the documented fast preset (`sampler_bf16: true`
+— sampling-location precision only, render-time evals stay f32; PSNR-neutral
+in the synthetic A/B, see BASELINE.md).
 
 Metric: rays/sec/chip through a full reference-scale optimization step —
 2 persons, 8x256 SDF MLPs, VolSDF error-bound sampler (5 rounds x 128 evals),
@@ -23,12 +29,14 @@ RAYS = 512
 STEPS = 8
 
 
-def main():
+def _measure(scene, sampler_bf16):
     import jax
 
     from __graft_entry__ import _build
 
-    scene, renderer, state, builder, ts, batch = _build(rays=RAYS, full_scale=True)
+    scene, renderer, state, builder, ts, batch = _build(
+        rays=RAYS, full_scale=True, sampler_bf16=sampler_bf16, scene=scene
+    )
     step = builder.jitted_step()
     key = jax.random.PRNGKey(0)
 
@@ -44,15 +52,24 @@ def main():
     acc += float(logs["loss"])
     dt = (time.perf_counter() - t0) / STEPS
     assert np.isfinite(acc)
+    return RAYS / dt, scene
 
-    rays_per_sec = RAYS / dt
+
+def main():
+    from multiply_tpu.data.synthetic import make_scene
+
+    scene = make_scene(num_frames=4, num_persons=2, height=32, width=40)
+    parity, scene = _measure(scene, sampler_bf16=False)
+    fast, _ = _measure(scene, sampler_bf16=True)
     print(
         json.dumps(
             {
                 "metric": "train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s (512-ray full-scale step, 2 persons)",
-                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+                "value": round(parity, 1),
+                "unit": "rays/s (512-ray full-scale step, 2 persons, strict f32)",
+                "vs_baseline": round(parity / BASELINE_RAYS_PER_SEC, 2),
+                "fast_value": round(fast, 1),
+                "fast_vs_baseline": round(fast / BASELINE_RAYS_PER_SEC, 2),
             }
         )
     )

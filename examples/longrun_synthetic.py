@@ -21,10 +21,6 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")  # deterministic host run (no relay)
-
 import numpy as np
 
 
@@ -34,7 +30,18 @@ def main():
     ap.add_argument("--segment", type=int, default=20, help="metrics cadence")
     ap.add_argument("--run_dir", default="outputs/Synthetic/longrun")
     ap.add_argument("--out", default="RUNLOG.md")
+    ap.add_argument("--parity", action="store_true",
+                    help="strict-f32 sampler (sampler_bf16: false) — the A/B "
+                         "complement to the default run on the same schedule")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="cpu = deterministic host run (no relay); tpu = the "
+                         "session's axon chip")
     args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from multiply_tpu.config import load_config
     from multiply_tpu.data.synthetic import make_scene
@@ -62,6 +69,7 @@ def main():
                 "interp_samples": 2048,
                 "depth_pixel_samples": 2048,
                 "loss": {"sam_start_epoch": 40},
+                **({"sampler_bf16": False} if args.parity else {}),
             },
             "dataset": {"train": {"num_sample": 128, "end_frame": 4,
                                   "height": 48, "width": 64}},

@@ -20,10 +20,6 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
 import numpy as np
 
 
@@ -39,7 +35,18 @@ def main():
                     help="instance-silhouette term weight; the reference "
                          "ships 0.0 (depth ordering only) — with it on, the "
                          "pass also recovers in-plane placement")
+    ap.add_argument("--render_rays", type=int, default=128,
+                    help="render-anchor rays per iteration (reference: 512, "
+                         "multiply_model.py:335; 128 fits the CPU budget)")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
+                    help="cpu = deterministic host run; tpu = session chip "
+                         "(fast iterations, remote compiles)")
     args = ap.parse_args()
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
@@ -61,8 +68,7 @@ def main():
                 "mesh_pad_bucket": 4096,
                 "interp_samples": 1024,
                 "depth_pixel_samples": 1024,
-                "depth_render_rays": 128,  # render-anchor rays (CPU budget;
-                # reference samples 512, multiply_model.py:335)
+                "depth_render_rays": args.render_rays,
                 "loss": {"sam_start_epoch": 40},
             },
             "dataset": {"train": {"num_sample": 128, "end_frame": 4,

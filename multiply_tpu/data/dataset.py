@@ -140,35 +140,88 @@ class Hi4DSequence:
         self.ratio_uncertain = ratio_uncertain
         self.edge_sampling_on = edge_sampling_on
 
+        def layout_error(msg: str) -> None:
+            raise FileNotFoundError(
+                f"{root}: {msg}\nExpected the preprocessed layout the "
+                "reference's preprocessing (or `python -m "
+                "multiply_tpu.preprocessing`) emits — see docs/REAL_DATA.md "
+                "for the full file list."
+            )
+
+        if not os.path.isdir(root):
+            layout_error("directory does not exist")
         img_paths = sorted(glob.glob(os.path.join(root, "image", "*.png")))
+        if not img_paths:
+            layout_error("no PNG frames under image/ (expected image/0000.png ...)")
         if end_frame is None:
             end_frame = len(img_paths)
+        if end_frame > len(img_paths):
+            layout_error(
+                f"end_frame={end_frame} but only {len(img_paths)} frames in image/"
+            )
         self.training_indices = list(range(start_frame, end_frame))
         self.img_paths = [img_paths[i] for i in self.training_indices]
         self.n_images = len(self.img_paths)
         first = cv2.imread(self.img_paths[0])
+        if first is None:
+            layout_error(f"{self.img_paths[0]} is not a readable image")
         self.img_size = first.shape[:2]  # (H, W)
 
         mask_folders = sorted(
             d for d in glob.glob(os.path.join(root, "mask", "*")) if os.path.isdir(d)
         )
         if mask_folders:
-            self.mask_paths = [
-                [sorted(glob.glob(f"{folder}/*.png"))[i] for i in self.training_indices]
-                for folder in mask_folders
-            ]
+            self.mask_paths = []
+            for folder in mask_folders:
+                pngs = sorted(glob.glob(f"{folder}/*.png"))
+                if len(pngs) < end_frame:
+                    layout_error(
+                        f"mask dir {folder} has {len(pngs)} PNGs, need "
+                        f">= {end_frame} (one per frame)"
+                    )
+                self.mask_paths.append([pngs[i] for i in self.training_indices])
         else:
             # single-person flat layout (reference threedpw.py: one mask dir,
             # smpl_params without a person axis)
             flat = sorted(glob.glob(os.path.join(root, "mask", "*.png")))
+            if len(flat) < end_frame:
+                layout_error(
+                    "mask/ must hold either one subdirectory of PNGs per "
+                    f"person or one PNG per frame (found {len(flat)} PNGs, "
+                    f"0 subdirectories, need {end_frame} frames)"
+                )
             self.mask_paths = [[flat[i] for i in self.training_indices]]
 
+        for name in ("mean_shape.npy", "poses.npy", "normalize_trans.npy",
+                     "cameras_normalize.npz"):
+            if not os.path.exists(os.path.join(root, name)):
+                layout_error(f"missing {name}")
         self.shape = np.atleast_2d(np.load(os.path.join(root, "mean_shape.npy")))
         self.num_person = self.shape.shape[0]
-        poses = np.load(os.path.join(root, "poses.npy"))[self.training_indices]
-        trans = np.load(os.path.join(root, "normalize_trans.npy"))[
-            self.training_indices
-        ]
+        if mask_folders and len(mask_folders) != self.num_person:
+            layout_error(
+                f"mean_shape.npy has {self.num_person} persons but mask/ has "
+                f"{len(mask_folders)} per-person subdirectories"
+            )
+        poses = np.load(os.path.join(root, "poses.npy"))
+        trans = np.load(os.path.join(root, "normalize_trans.npy"))
+        if poses.shape[0] < end_frame or trans.shape[0] < end_frame:
+            layout_error(
+                f"poses.npy/normalize_trans.npy cover {poses.shape[0]}/"
+                f"{trans.shape[0]} frames, need >= {end_frame}"
+            )
+        if poses.ndim == 3 and poses.shape[1] != self.num_person:
+            layout_error(
+                f"poses.npy person axis is {poses.shape[1]} but "
+                f"mean_shape.npy has {self.num_person} persons"
+            )
+        if poses.shape[-1] != 72:
+            layout_error(
+                f"poses.npy last axis is {poses.shape[-1]}, expected 72 "
+                "(SMPL global_orient + body_pose, axis-angle)"
+            )
+        poses = poses[self.training_indices]
+        trans = trans[self.training_indices]
         if poses.ndim == 2:  # (F, 72) single person -> (F, 1, 72)
             poses = poses[:, None, :]
             trans = trans[:, None, :]
@@ -182,6 +235,18 @@ class Hi4DSequence:
         )
 
         cam = np.load(os.path.join(root, "cameras_normalize.npz"))
+        missing_keys = [
+            k
+            for i in self.training_indices
+            for k in (f"scale_mat_{i}", f"world_mat_{i}")
+            if k not in cam
+        ]
+        if missing_keys:
+            layout_error(
+                "cameras_normalize.npz lacks per-frame keys "
+                f"{missing_keys[:4]}{'...' if len(missing_keys) > 4 else ''} "
+                "(expected scale_mat_%d / world_mat_%d for every frame index)"
+            )
         self.P, self.C, self.intrinsics, self.pose = [], [], [], []
         self.scale_mats, self.world_mats = [], []
         self.scale = 1.0 / cam[f"scale_mat_{self.training_indices[0]}"][0, 0]

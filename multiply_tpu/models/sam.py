@@ -27,6 +27,10 @@ VIT_CONFIGS = {
     "vit_h": dict(embed_dim=1280, depth=32, num_heads=16, global_attn=(7, 15, 23, 31)),
     # tiny variant for tests (random weights, architecture-only checks)
     "vit_test": dict(embed_dim=32, depth=2, num_heads=2, global_attn=(1,)),
+    # vit_b cross-section for production-geometry tests: full embed/head
+    # width and the real 1024-input token grid, truncated to one windowed +
+    # one global block (depth adds repetition, not new geometry)
+    "vit_b2": dict(embed_dim=768, depth=2, num_heads=12, global_attn=(1,)),
 }
 IMG_SIZE = 1024
 PATCH = 16
@@ -508,6 +512,22 @@ def port_torch_checkpoint(path: str, variant: str = "vit_h") -> dict:
     def lin(prefix):
         return {"kernel": t[f"{prefix}.weight"].T, "bias": t[f"{prefix}.bias"]}
 
+    def resize_rel(arr, block_idx):
+        # A checkpoint fine-tuned at another input size carries rel_pos of a
+        # different length; the official predictor interpolates every forward
+        # (get_rel_pos). Flax params are fixed-shape, so resize ONCE here with
+        # the same linear interpolation — numerically identical.
+        size = 14 if block_idx not in cfg["global_attn"] else IMG_SIZE // PATCH
+        want = 2 * size - 1
+        if arr.shape[0] != want:
+            import jax
+            import jax.numpy as jnp
+
+            arr = np.asarray(
+                jax.image.resize(jnp.asarray(arr), (want, arr.shape[1]), "linear")
+            )
+        return arr
+
     enc["patch_embed"] = {
         "kernel": t["image_encoder.patch_embed.proj.weight"].transpose(2, 3, 1, 0),
         "bias": t["image_encoder.patch_embed.proj.bias"],
@@ -521,8 +541,8 @@ def port_torch_checkpoint(path: str, variant: str = "vit_h") -> dict:
             "attn": {
                 "qkv": lin(f"{pre}.attn.qkv"),
                 "proj": lin(f"{pre}.attn.proj"),
-                "rel_pos_h": t[f"{pre}.attn.rel_pos_h"],
-                "rel_pos_w": t[f"{pre}.attn.rel_pos_w"],
+                "rel_pos_h": resize_rel(t[f"{pre}.attn.rel_pos_h"], i),
+                "rel_pos_w": resize_rel(t[f"{pre}.attn.rel_pos_w"], i),
             },
             "mlp_lin1": lin(f"{pre}.mlp.lin1"),
             "mlp_lin2": lin(f"{pre}.mlp.lin2"),

@@ -155,3 +155,60 @@ def test_novel_view_cameras(fake_root):
     np.testing.assert_allclose(pose, cams[0]["pose"], atol=1e-4)
     # camera center moved off the +z axis (it is a genuinely new view)
     assert abs(cams[0]["pose"][0, 3]) > 0.1
+
+
+def test_layout_errors_are_actionable(fake_root, tmp_path):
+    """Every missing/misshapen file raises FileNotFoundError naming the file
+    and the expected layout (docs/REAL_DATA.md) — first contact with real
+    data must fail loudly, not deep in training."""
+    import shutil
+
+    root, (F, P, H, W) = fake_root
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        Hi4DSequence(str(tmp_path / "nope"), using_sam=False)
+
+    empty = tmp_path / "empty"
+    (empty / "image").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError, match="image/"):
+        Hi4DSequence(str(empty), using_sam=False)
+
+    def clone():
+        dst = tmp_path / f"c{len(list(tmp_path.iterdir()))}"
+        shutil.copytree(root, dst)
+        return dst
+
+    c = clone()
+    os.remove(c / "mean_shape.npy")
+    with pytest.raises(FileNotFoundError, match="mean_shape.npy"):
+        Hi4DSequence(str(c), using_sam=False)
+
+    c = clone()
+    np.save(c / "poses.npy", np.zeros((F, P, 69), np.float32))
+    with pytest.raises(FileNotFoundError, match="expected 72"):
+        Hi4DSequence(str(c), using_sam=False)
+
+    c = clone()
+    np.save(c / "poses.npy", np.zeros((F - 2, P, 72), np.float32))
+    with pytest.raises(FileNotFoundError, match="poses.npy"):
+        Hi4DSequence(str(c), using_sam=False)
+
+    c = clone()
+    np.save(c / "mean_shape.npy", np.zeros((P + 1, 10), np.float32))
+    with pytest.raises(FileNotFoundError, match="persons"):
+        Hi4DSequence(str(c), using_sam=False)
+
+    c = clone()
+    os.remove(c / "mask" / "0" / "0002.png")
+    with pytest.raises(FileNotFoundError, match="mask dir"):
+        Hi4DSequence(str(c), using_sam=False)
+
+    c = clone()
+    cams = dict(np.load(c / "cameras_normalize.npz"))
+    del cams["world_mat_1"]
+    np.savez(c / "cameras_normalize.npz", **cams)
+    with pytest.raises(FileNotFoundError, match="world_mat_1"):
+        Hi4DSequence(str(c), using_sam=False)
+
+    with pytest.raises(FileNotFoundError, match="end_frame"):
+        Hi4DSequence(root, end_frame=F + 5, using_sam=False)

@@ -33,6 +33,12 @@ def build_servers(conf, seq):
         if model_path and os.path.exists(model_path):
             body = load_smpl_model(model_path, gender=gender)
         else:
+            if model_path:
+                print(
+                    f"WARNING: smpl_model_path={model_path} does not exist — "
+                    "falling back to the SYNTHETIC test body. Real sequences "
+                    "will produce garbage geometry (docs/REAL_DATA.md)."
+                )
             body = synthetic_body_model()
         servers.append(SMPLServer.create(body, betas=np.asarray(seq.shape[p])))
     return servers
