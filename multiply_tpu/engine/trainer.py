@@ -712,6 +712,7 @@ class Trainer:
             )
 
         params = body
+        skipped = 0
         for it in range(self.it_per_loop):
             samples, _ = weighted_sampling(ray_data, (H, W), n_rays, self.rng)
             rays = (
@@ -720,12 +721,11 @@ class Trainer:
                 jnp.asarray(samples["sam_mask"], jnp.float32),
             )
             self.key, k = jax.random.split(self.key)
-            (val, parts), grads = grad_fn(
-                params, k, *consts, *rays, *anchor_consts
+            params, opt_state, val, parts, finite = grad_fn(
+                params, opt_state, lr, active, k, *consts, *rays,
+                *anchor_consts
             )
-            params, opt_state = adam_update(
-                grads, opt_state, params, lr, None, active
-            )
+            skipped += int(not bool(finite))
             if it == 0 or it == self.it_per_loop - 1:
                 print(
                     f"  opt_depth frame {frame_idx} it {it}: "
@@ -737,6 +737,11 @@ class Trainer:
                 self._dump_depth_maps(
                     frame_idx, it, item, params, meshes, sam_probs_full
                 )
+        if skipped:
+            print(
+                f"  opt_depth frame {frame_idx}: skipped {skipped}/"
+                f"{self.it_per_loop} non-finite iterations (NaN guard)"
+            )
         self.ts = self.ts._replace(
             params={"net": self.ts.params["net"], "body": params}
         )
@@ -753,7 +758,11 @@ class Trainer:
         interpenetration terms PLUS the full model render loss on freshly
         weighted-sampled rays, added unweighted. The render anchor is what
         keeps the translation pass from drifting in-plane; gradients flow to
-        the body params only (net params enter as non-differentiated args)."""
+        the body params only (net params enter as non-differentiated args).
+
+        The Adam update is fused in, behind the same non-finite skip the main
+        step uses (multiply_model.py:212-214): one NaN gradient must not
+        corrupt params + optimizer state for the rest of the loop."""
         if getattr(self, "_depth_grad", None) is None:
             deformers = [
                 jax.tree.map(lambda x: x[p], self.person_state.deformer)
@@ -838,9 +847,23 @@ class Trainer:
                 }
                 return total, parts
 
-            self._depth_grad = jax.jit(
-                jax.value_and_grad(loss_fn, has_aux=True)
-            )
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def step_fn(params, opt_state, lr, active, key, *args):
+                (val, parts), grads = grad_fn(params, key, *args)
+                finite = jnp.isfinite(val) & jax.tree.reduce(
+                    jnp.logical_and,
+                    jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads),
+                )
+                grads = jax.tree.map(
+                    lambda g: jnp.where(finite, g, 0.0), grads
+                )
+                new_params, new_opt = adam_update(
+                    grads, opt_state, params, lr, None, active
+                )
+                return new_params, new_opt, val, parts, finite
+
+            self._depth_grad = jax.jit(step_fn)
         return self._depth_grad
 
     def _dump_depth_maps(
