@@ -126,6 +126,11 @@ class MultiplyRenderer:
         # bf16 for the sampler's SDF evals (placement-only decisions; the
         # final render evals stay f32). Off by default for reference parity.
         self.sampler_bf16 = bool(conf.get("sampler_bf16", False))
+        # pairwise-attenuation composite: replaces the 9-operand depth sort
+        # with per-person cumsums + an (R,S,S) cross-person mask contraction
+        # (MXU work instead of sort-network data movement); numerically
+        # identical to the sorted composite up to float association
+        self.composite_matmul = bool(conf.get("composite_matmul", False))
         # clip each person's sampling interval to its box entry/exit
         # (use_bbox_sampler concept; off by default for reference parity)
         self.bbox_ray_range = bool(conf.get("bbox_ray_range", False))
@@ -528,47 +533,80 @@ class MultiplyRenderer:
         rgb = pout["rgb"].reshape(self.P, R, S, 3)
         normals = pout["normals"].reshape(self.P, R, S, 3)
 
-        def flat(x):  # (P,R,S,...) -> (R, P*S, ...)
-            x = jnp.moveaxis(x, 0, 1)  # (R,P,S,...)
-            return x.reshape((R, self.P * S) + x.shape[3:])
+        if self.composite_matmul:
+            # -------- pairwise-attenuation composite (sort-free) --------
+            # weight of interval i of person p = alpha_i * exp(-(own prefix
+            # free energy + Σ_{q≠p} fe_q over intervals ending before
+            # end_p[i])). Equals the globally-depth-sorted composite exactly
+            # (stable sort resolves cross-person ties person-major, hence
+            # <= for q < p, < for q > p). The cross term is an (R,S,S)
+            # mask·fe contraction — MXU work instead of a 9-operand sort.
+            cum_own = jnp.cumsum(fe, axis=-1)
+            own_prefix = cum_own - fe  # exclusive prefix, (P,R,S)
+            cross = []
+            for p in range(self.P):
+                acc = jnp.zeros((R, S))
+                for q in range(self.P):
+                    if q == p:
+                        continue
+                    if q < p:
+                        m = ends[q][:, None, :] <= ends[p][:, :, None]
+                    else:
+                        m = ends[q][:, None, :] < ends[p][:, :, None]
+                    acc = acc + jnp.einsum(
+                        "rij,rj->ri", m.astype(fe.dtype), fe[q]
+                    )
+                cross.append(acc)
+            cross = jnp.stack(cross)  # (P,R,S)
+            w_p = (1.0 - jnp.exp(-fe)) * jnp.exp(-(own_prefix + cross))
+            bg_transmittance = jnp.exp(-jnp.sum(fe, axis=(0, -1)))  # (R,)
+            fg_rgb_values = jnp.einsum("prs,prsc->rc", w_p, rgb)
+            normal_values = jnp.einsum("prs,prsc->rc", w_p, normals)
+            acc_person = jnp.sum(w_p, axis=-1).T  # (R, P)
+            acc_map = jnp.sum(acc_person, axis=-1)
+            weights = jnp.moveaxis(w_p, 0, 1).reshape(R, self.P * S)
+        else:
+            def flat(x):  # (P,R,S,...) -> (R, P*S, ...)
+                x = jnp.moveaxis(x, 0, 1)  # (R,P,S,...)
+                return x.reshape((R, self.P * S) + x.shape[3:])
 
-        ends_f, fe_f = flat(ends), flat(fe)
-        rgb_f, nrm_f = flat(rgb), flat(normals)
-        pid = jnp.broadcast_to(
-            jnp.arange(self.P)[:, None, None], (self.P, R, S)
-        )
-        pid_f = flat(pid)
+            ends_f, fe_f = flat(ends), flat(fe)
+            rgb_f, nrm_f = flat(rgb), flat(normals)
+            pid = jnp.broadcast_to(
+                jnp.arange(self.P)[:, None, None], (self.P, R, S)
+            )
+            pid_f = flat(pid)
 
-        # one multi-operand sort (key = interval end) instead of argsort +
-        # five gathers — TPU gathers dominated the profiled step otherwise
-        (_, fe_s, r0, r1, r2, n0, n1, n2, pid_s) = jax.lax.sort(
-            (
-                ends_f, fe_f,
-                rgb_f[..., 0], rgb_f[..., 1], rgb_f[..., 2],
-                nrm_f[..., 0], nrm_f[..., 1], nrm_f[..., 2],
-                pid_f.astype(jnp.float32),
-            ),
-            dimension=-1,
-            num_keys=1,
-        )
-        rgb_s = jnp.stack([r0, r1, r2], axis=-1)
-        nrm_s = jnp.stack([n0, n1, n2], axis=-1)
-        pid_s = pid_s.astype(jnp.int32)
+            # one multi-operand sort (key = interval end) instead of argsort +
+            # five gathers — TPU gathers dominated the profiled step otherwise
+            (_, fe_s, r0, r1, r2, n0, n1, n2, pid_s) = jax.lax.sort(
+                (
+                    ends_f, fe_f,
+                    rgb_f[..., 0], rgb_f[..., 1], rgb_f[..., 2],
+                    nrm_f[..., 0], nrm_f[..., 1], nrm_f[..., 2],
+                    pid_f.astype(jnp.float32),
+                ),
+                dimension=-1,
+                num_keys=1,
+            )
+            rgb_s = jnp.stack([r0, r1, r2], axis=-1)
+            nrm_s = jnp.stack([n0, n1, n2], axis=-1)
+            pid_s = pid_s.astype(jnp.int32)
 
-        alpha = 1.0 - jnp.exp(-fe_s)
-        shifted = jnp.concatenate([jnp.zeros((R, 1)), fe_s[:, :-1]], axis=-1)
-        trans = jnp.exp(-jnp.cumsum(shifted, axis=-1))
-        weights = alpha * trans  # (R, P*S)
+            alpha = 1.0 - jnp.exp(-fe_s)
+            shifted = jnp.concatenate([jnp.zeros((R, 1)), fe_s[:, :-1]], axis=-1)
+            trans = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+            weights = alpha * trans  # (R, P*S)
 
-        bg_transmittance = jnp.exp(-jnp.sum(fe_s, axis=-1))  # (R,)
-        fg_rgb_values = jnp.sum(weights[..., None] * rgb_s, axis=-2)
-        normal_values = jnp.sum(weights[..., None] * nrm_s, axis=-2)
-        acc_map = jnp.sum(weights, axis=-1)
-        acc_person = jnp.sum(
-            weights[:, :, None]
-            * (pid_s[:, :, None] == jnp.arange(self.P)[None, None, :]),
-            axis=1,
-        )  # (R, P)
+            bg_transmittance = jnp.exp(-jnp.sum(fe_s, axis=-1))  # (R,)
+            fg_rgb_values = jnp.sum(weights[..., None] * rgb_s, axis=-2)
+            normal_values = jnp.sum(weights[..., None] * nrm_s, axis=-2)
+            acc_map = jnp.sum(weights, axis=-1)
+            acc_person = jnp.sum(
+                weights[:, :, None]
+                * (pid_s[:, :, None] == jnp.arange(self.P)[None, None, :]),
+                axis=1,
+            )  # (R, P)
 
         # ---------------- background (NeRF++ inverse sphere) ----------------
         # fresh inverse-sphere samples, flipped 1->0 (multiply.py:482-484, 516)

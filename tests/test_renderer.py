@@ -354,3 +354,42 @@ def test_multi_triplane_dsdf_trains():
     after = np.asarray(ts2.params["net"]["triplane"]["params"]["planes_8"])
     assert np.isfinite(float(logs["loss"]))
     assert not np.allclose(before, after), "training did not move the pyramid"
+
+
+def test_composite_matmul_matches_sort(setup):
+    """The pairwise-attenuation composite (composite_matmul: true) must equal
+    the depth-sorted composite exactly (same math, different schedule): both
+    implement the reference's packed multi-person interval rendering
+    (multiply.py:482-516)."""
+    renderer, state, params = setup
+    renderer2 = MultiplyRenderer(
+        Config({**dict(TINY_CONF), "composite_matmul": True}),
+        num_persons=2,
+        num_frames=4,
+    )
+    assert renderer2.composite_matmul
+    inputs = make_inputs(8)
+    out_sort = renderer.render(params, state, inputs, train=False)
+    out_mm = renderer2.render(params, state, inputs, train=False)
+    for k in (
+        "rgb_values",
+        "normal_values",
+        "acc_map",
+        "acc_person_list",
+        "bg_transmittance",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(out_sort[k]), np.asarray(out_mm[k]), atol=2e-5,
+            err_msg=k,
+        )
+    # gradients flow through the pairwise path to translations
+    def loss_fn(transl):
+        o = renderer2.render(
+            params, state, inputs._replace(transl=transl), train=True,
+            key=jax.random.PRNGKey(5),
+        )
+        return jnp.mean(o["rgb_values"] ** 2) + jnp.mean(o["acc_map"])
+
+    g = jax.grad(loss_fn)(inputs.transl)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
