@@ -24,6 +24,38 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
+def corrupt_sam_logits(scene, rng):
+    """Corrupt the initial masks the way bad video preprocessing does:
+    person 0 dilated ~4 px into background/partner on every frame, and a
+    horizontal band swapped between persons 0/1 on every even frame (the
+    instance-confusion failure SAM self-refinement exists to fix)."""
+    import cv2
+
+    logits = scene.sam_logits.copy()
+    F, H, W, P = logits.shape
+    kernel = np.ones((9, 9), np.uint8)
+    for f in range(F):
+        m0 = (logits[f, :, :, 0] > 0).astype(np.uint8)
+        d0 = cv2.dilate(m0, kernel) > 0
+        logits[f, :, :, 0] = np.where(d0, 8.0, -8.0)
+        if P >= 2 and f % 2 == 0:
+            band = slice(H // 3, 2 * H // 3)
+            sw = logits[f, band, :, 0].copy()
+            logits[f, band, :, 0] = logits[f, band, :, 1]
+            logits[f, band, :, 1] = sw
+    return logits
+
+
+def gt_iou(sam_logits, gt_masks):
+    """Mean per-person IoU of binary masks vs ground truth.
+    sam_logits (F, H, W, P) logits; gt_masks (F, H, W, P) bool."""
+    b = np.asarray(sam_logits) > 0
+    gt = np.asarray(gt_masks) > 0.5
+    inter = np.logical_and(b, gt).sum(axis=(1, 2))
+    union = np.logical_or(b, gt).sum(axis=(1, 2))
+    return float((inter / np.maximum(union, 1)).mean())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=200)
@@ -36,6 +68,23 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
                     help="cpu = deterministic host run (no relay); tpu = the "
                          "session's axon chip")
+    ap.add_argument("--corrupt_masks", action="store_true",
+                    help="corrupt the INITIAL per-person masks the way bad "
+                         "preprocessing does (dilate person 0, swap a band "
+                         "between persons on half the frames) so the "
+                         "progressive mask self-refinement loop has real "
+                         "errors to correct (multiply_model.py:489-519)")
+    ap.add_argument("--pose_noise", type=float, default=0.0,
+                    help="U(-x, x) m noise on the trainer's initial "
+                         "translations (bad masks come from bad body "
+                         "estimates; GT poses would let the SMPL-rendered "
+                         "instance masks fix everything in one stage)")
+    ap.add_argument("--segmenter", default="prior", choices=["prior", "color"],
+                    help="prior = identity refinement (rendered instance "
+                         "masks); color = image-driven ColorPromptPredictor "
+                         "(prompts from the model, mask from image evidence "
+                         "— the SAM mechanism without SAM weights)")
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -79,6 +128,12 @@ def main():
     os.makedirs(run_dir, exist_ok=True)
 
     scene = make_scene(num_frames=4, num_persons=2, height=48, width=64)
+    gt_masks = scene.masks.copy()  # (F, H, W, P) ground truth for IoU scoring
+    rng = np.random.default_rng(args.seed)
+    if args.corrupt_masks:
+        scene = scene._replace(sam_logits=corrupt_sam_logits(scene, rng))
+        iou0 = gt_iou(scene.sam_logits, gt_masks)
+        print(f"corrupted initial masks: IoU vs GT = {iou0:.3f}")
     seq = SyntheticSequence(
         scene, num_sample=128, using_sam=True, run_dir=run_dir,
         ratio_uncertain=0.5,
@@ -86,7 +141,34 @@ def main():
     from train import build_servers
 
     servers = build_servers(conf, seq)
-    tr = Trainer(conf, seq, servers, run_dir=run_dir, segmenter=PriorSegmenter())
+    if args.segmenter == "color":
+        from multiply_tpu.engine.sam_stage import (
+            ColorPromptPredictor,
+            SamSegmenter,
+        )
+
+        segmenter = SamSegmenter(
+            ColorPromptPredictor(), list(scene.images), seed=args.seed
+        )
+    else:
+        segmenter = PriorSegmenter()
+    tr = Trainer(conf, seq, servers, run_dir=run_dir, segmenter=segmenter)
+
+    if args.pose_noise > 0:
+        import jax.numpy as jnp
+
+        body = tr.ts.params["body"]
+        tnoise = rng.uniform(
+            -args.pose_noise, args.pose_noise, np.asarray(body.transl).shape
+        ).astype(np.float32)
+        body = body._replace(transl=jnp.asarray(np.asarray(body.transl) + tnoise))
+        params = dict(tr.ts.params)
+        params["body"] = body
+        tr.ts = tr.ts._replace(params=params)
+        print(f"perturbed initial translations: max |err| "
+              f"{np.abs(tnoise).max()*100:.1f} cm")
+
+    transl_gt = np.asarray(scene.transl).transpose(1, 0, 2)  # (P, F, 3)
 
     rows = []
     t0 = time.time()
@@ -108,6 +190,7 @@ def main():
         logs = {}
         seg_lo = tr.epoch - args.segment
         pose_max = {"pose_depth_order_loss": 0.0, "pose_interpenetration_loss": 0.0}
+        n_delayed = 0.0
         metrics_path = os.path.join(run_dir, "metrics.jsonl")
         if os.path.exists(metrics_path):
             with open(metrics_path) as f:
@@ -121,10 +204,27 @@ def main():
                     if rec.get("epoch", -1) >= seg_lo:
                         for k in pose_max:
                             pose_max[k] = max(pose_max[k], rec.get(k, 0.0))
+                        n_delayed = max(n_delayed, rec.get("n_delayed_pose", 0.0))
+        # mask recovery vs ground truth: the masks training actually consumes
+        # (_refresh_sam stores (F, H, W, P), same layout as scene.sam_logits)
+        train_sam = (
+            seq._sam_masks if seq._sam_masks is not None else scene.sam_logits
+        )
         row = {
             "epoch": tr.epoch,
             "psnr": psnr,
             "mask_iou": iou,
+            "gt_iou": gt_iou(train_sam, gt_masks),
+            "certain": int(np.sum(seq.smpl_sam_iou >= seq.uncertain_threshold)),
+            "n_delayed_pose": n_delayed,
+            "transl_rmse_cm": float(
+                np.sqrt(
+                    np.mean(
+                        (np.asarray(tr.ts.params["body"].transl) - transl_gt) ** 2
+                    )
+                )
+                * 100.0
+            ),
             "loss": logs.get("loss", float("nan")),
             "rgb_loss": logs.get("rgb_loss", float("nan")),
             "sam_mask_loss": logs.get("sam_mask_loss", float("nan")),
@@ -135,7 +235,10 @@ def main():
         rows.append(row)
         print(
             f"[segment] epoch {row['epoch']} PSNR {row['psnr']:.2f} "
-            f"IoU {row['mask_iou']:.3f} ({row['wall_s']:.0f}s)"
+            f"IoU {row['mask_iou']:.3f} gtIoU {row['gt_iou']:.3f} "
+            f"certain {row['certain']}/{len(seq.smpl_sam_iou)} "
+            f"delayed {row['n_delayed_pose']:.0f} "
+            f"transl_rmse {row['transl_rmse_cm']:.2f}cm ({row['wall_s']:.0f}s)"
         )
 
     # final translation-only depth pass (reference depth_end mode)
@@ -170,13 +273,21 @@ def write_runlog(path, conf, rows, psnr_before, psnr_after, transl_delta,
               "4 frames x 128 rays, tiny nets).\n")
     md.append("\n## Trajectory\n")
     md.append("(pose columns = max over the segment's pose-opt epochs — the "
-              "mesh losses fire every `pose_opt_interval` epochs only)\n")
-    md.append("| epoch | val PSNR (dB) | mask IoU | loss | rgb | sam | "
+              "mesh losses fire every `pose_opt_interval` epochs only; "
+              "`gt IoU` scores the masks training actually consumes against "
+              "ground truth; `certain` counts frames above the uncertainty "
+              "quantile; `delayed` = MODE_DELAYED_POSE steps in the segment's "
+              "max epoch)\n")
+    md.append("| epoch | val PSNR (dB) | mask IoU | gt IoU | certain | "
+              "delayed | transl rmse (cm) | loss | rgb | sam | "
               "pose depth-order | pose interp |")
-    md.append("|---|---|---|---|---|---|---|---|")
+    md.append("|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         md.append(
             f"| {r['epoch']} | {r['psnr']:.2f} | {r['mask_iou']:.3f} | "
+            f"{r.get('gt_iou', float('nan')):.3f} | {r.get('certain', 0)} | "
+            f"{r.get('n_delayed_pose', 0):.0f} | "
+            f"{r.get('transl_rmse_cm', float('nan')):.2f} | "
             f"{r['loss']:.4f} | {r['rgb_loss']:.4f} | {r['sam_mask_loss']:.4f} | "
             f"{r['pose_depth_order_loss']:.5f} | "
             f"{r['pose_interpenetration_loss']:.5f} |"
@@ -207,7 +318,11 @@ def write_runlog(path, conf, rows, psnr_before, psnr_after, transl_delta,
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
-        os.makedirs("docs/runlog", exist_ok=True)
+        stem = os.path.splitext(os.path.basename(path))[0].lower()
+        art_dir = os.path.join(
+            "docs", "runlog" if stem == "runlog" else f"runlog_{stem}"
+        )
+        os.makedirs(art_dir, exist_ok=True)
         fig, ax1 = plt.subplots(figsize=(7, 4))
         ep = [r["epoch"] for r in rows]
         ax1.plot(ep, [r["psnr"] for r in rows], "o-", label="val PSNR (dB)")
@@ -216,26 +331,30 @@ def write_runlog(path, conf, rows, psnr_before, psnr_after, transl_delta,
         ax2 = ax1.twinx()
         ax2.plot(ep, [r["mask_iou"] for r in rows], "s--", color="tab:orange",
                  label="mask IoU")
-        ax2.set_ylabel("SMPL-SAM mask IoU")
+        if any(np.isfinite(r.get("gt_iou", float("nan"))) for r in rows):
+            ax2.plot(ep, [r.get("gt_iou", float("nan")) for r in rows], "^:",
+                     color="tab:green", label="gt IoU")
+            ax2.legend(loc="lower right", fontsize=7)
+        ax2.set_ylabel("mask IoU")
         for x, lbl in [(40, "SAM loss on"), (60, "pose-opt start"),
                        (100, "pose-correction end"), (160, "pose-opt end")]:
             ax1.axvline(x, color="gray", alpha=0.4, lw=0.8)
             ax1.text(x, ax1.get_ylim()[1], lbl, rotation=90, fontsize=6,
                      va="top", ha="right")
         fig.tight_layout()
-        fig.savefig("docs/runlog/psnr_iou.png", dpi=120)
-        md.append("![trajectory](docs/runlog/psnr_iou.png)\n")
+        fig.savefig(os.path.join(art_dir, "psnr_iou.png"), dpi=120)
+        md.append(f"![trajectory]({art_dir}/psnr_iou.png)\n")
         # keep the last validation render as a visual artifact
         import glob
         import shutil
 
         vals = sorted(glob.glob(os.path.join(run_dir, "val", "*.png")))
         if vals:
-            shutil.copy(vals[0], "docs/runlog/val_first.png")
-            shutil.copy(vals[-1], "docs/runlog/val_last.png")
+            shutil.copy(vals[0], os.path.join(art_dir, "val_first.png"))
+            shutil.copy(vals[-1], os.path.join(art_dir, "val_last.png"))
             md.append("First vs last validation render (GT | prediction):\n")
-            md.append("![first](docs/runlog/val_first.png)")
-            md.append("![last](docs/runlog/val_last.png)\n")
+            md.append(f"![first]({art_dir}/val_first.png)")
+            md.append(f"![last]({art_dir}/val_last.png)\n")
     except Exception as e:
         print(f"plotting skipped: {e}")
 

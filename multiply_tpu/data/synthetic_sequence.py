@@ -109,7 +109,8 @@ class SyntheticSequence:
         samples, _ = weighted_sampling(
             data, (scene.height, scene.width), self.num_sample, rng
         )
-        return {
+        is_certain = bool(self.smpl_sam_iou[idx] >= self.uncertain_threshold)
+        out = {
             "uv": samples["uv"].astype(np.float32),
             "rgb": samples["rgb"].astype(np.float32),
             "sam_mask": samples["sam_mask"].astype(np.float32),
@@ -121,8 +122,36 @@ class SyntheticSequence:
             "smpl_shape": scene.betas,
             "smpl_scale": scene.scale,
             "idx": idx,
-            "is_certain": bool(self.smpl_sam_iou[idx] >= self.uncertain_threshold),
+            "is_certain": is_certain,
         }
+        if not is_certain:
+            # uncertain frames substitute 50/40/10 mask/edge/random rays for
+            # MODE_DELAYED_POSE, same as Hi4DSequence (reference Hi4D.py:27-53,
+            # 186-229); the edge band is derived from the mask union
+            import cv2
+
+            from .dataset import edge_sampling
+
+            m = (data["object_mask"] > 0).astype(np.uint8)
+            band = (
+                cv2.dilate(m, np.ones((5, 5), np.uint8))
+                - cv2.erode(m, np.ones((5, 5), np.uint8))
+            ) > 0
+            es = edge_sampling(
+                {
+                    "rgb": data["rgb"],
+                    "uv": data["uv"],
+                    "sam_mask": sam,
+                    "person_mask": data["object_mask"] > 0,
+                    "edge_mask": band,
+                },
+                self.num_sample,
+                rng,
+            )
+            out["edge_uv"] = es["uv"].astype(np.float32)
+            out["edge_rgb"] = es["rgb"].astype(np.float32)
+            out["edge_sam_mask"] = es["sam_mask"].astype(np.float32)
+        return out
 
     def get_eval_item(self, idx: int) -> dict:
         scene = self.scene
