@@ -240,6 +240,9 @@ def main():
             f"delayed {row['n_delayed_pose']:.0f} "
             f"transl_rmse {row['transl_rmse_cm']:.2f}cm ({row['wall_s']:.0f}s)"
         )
+        # incremental write: a killed run still leaves a readable trajectory
+        write_runlog(args.out, conf, rows, rows[-1]["psnr"], float("nan"),
+                     0.0, time.time() - t0, run_dir)
 
     # final translation-only depth pass (reference depth_end mode)
     psnr_before_opt = rows[-1]["psnr"]
@@ -319,6 +322,8 @@ def write_runlog(path, conf, rows, psnr_before, psnr_after, transl_delta,
         import matplotlib.pyplot as plt
 
         stem = os.path.splitext(os.path.basename(path))[0].lower()
+        if stem.startswith("runlog_"):
+            stem = stem[len("runlog_"):]
         art_dir = os.path.join(
             "docs", "runlog" if stem == "runlog" else f"runlog_{stem}"
         )
