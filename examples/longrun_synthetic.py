@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--parity", action="store_true",
                     help="strict-f32 sampler (sampler_bf16: false) — the A/B "
                          "complement to the default run on the same schedule")
+    ap.add_argument("--bf16", action="store_true",
+                    help="sampler_bf16: true — the fast-preset arm of the "
+                         "full-schedule A/B (code default is f32)")
     ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"],
                     help="cpu = deterministic host run (no relay); tpu = the "
                          "session's axon chip")
@@ -119,6 +122,7 @@ def main():
                 "depth_pixel_samples": 2048,
                 "loss": {"sam_start_epoch": 40},
                 **({"sampler_bf16": False} if args.parity else {}),
+                **({"sampler_bf16": True} if args.bf16 else {}),
             },
             "dataset": {"train": {"num_sample": 128, "end_frame": 4,
                                   "height": 48, "width": 64}},
