@@ -118,7 +118,9 @@ def test_embedder_matches_reference():
         x = np.random.default_rng(2).normal(0, 1, size=(17, d)).astype(np.float32)
         ref = embed_fn(t(x)).numpy()
         ours = np.asarray(positional_encoding(jnp.asarray(x), multires))
-        np.testing.assert_allclose(ours, ref, atol=1e-6)
+        # f32 sin/cos of large-frequency args differ by ~1 ulp across libm
+        # implementations (observed max 1.4e-6 on 2^9 * x inputs)
+        np.testing.assert_allclose(ours, ref, atol=4e-6)
 
 
 def test_laplace_density_matches_reference():
