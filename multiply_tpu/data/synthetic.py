@@ -46,6 +46,7 @@ def make_scene(
     height: int = 48,
     width: int = 64,
     seed: int = 0,
+    model=None,
 ) -> SyntheticScene:
     # GT generation is host-side bookkeeping: pin it to the CPU backend so
     # demo runs on TPU don't waste minutes shipping eager ray-mesh ops
@@ -53,9 +54,9 @@ def make_scene(
     try:
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            return _make_scene_impl(num_frames, num_persons, height, width, seed)
+            return _make_scene_impl(num_frames, num_persons, height, width, seed, model)
     except RuntimeError:  # no cpu backend registered (unusual)
-        return _make_scene_impl(num_frames, num_persons, height, width, seed)
+        return _make_scene_impl(num_frames, num_persons, height, width, seed, model)
 
 
 def _make_scene_impl(
@@ -64,9 +65,11 @@ def _make_scene_impl(
     height: int,
     width: int,
     seed: int,
+    model=None,
 ) -> SyntheticScene:
     rng = np.random.default_rng(seed)
-    model = synthetic_body_model()
+    if model is None:
+        model = synthetic_body_model()
     betas = rng.standard_normal((num_persons, 10)).astype(np.float32) * 0.3
     servers = [SMPLServer.create(model, betas=betas[i]) for i in range(num_persons)]
 

@@ -97,11 +97,14 @@ class ColorPromptPredictor:
                 prior = up[:H, :W]
             logits = logits + self.prior_weight * np.clip(prior, -8.0, 8.0)
 
+        logits = np.minimum(logits, 8.0)
         if box is not None:
+            # hard gate, matching SAM's effective box constraint: pixels
+            # outside the box end at logit -8 regardless of color match
             x0, y0, x1, y1 = np.asarray(box, np.int64)
-            gate = np.full((H, W), -8.0, np.float32)
-            gate[max(0, y0) : min(H, y1 + 1), max(0, x0) : min(W, x1 + 1)] = 0.0
-            logits = np.minimum(logits, 8.0) + gate
+            in_box = np.zeros((H, W), bool)
+            in_box[max(0, y0) : min(H, y1 + 1), max(0, x0) : min(W, x1 + 1)] = True
+            logits = np.where(in_box, logits, -8.0)
         return np.clip(logits, -12.0, 12.0).astype(np.float32)
 
 

@@ -267,11 +267,15 @@ class TrainStep:
             self._forward_loss, has_aux=True
         )(ts.params, person_state, batch, epoch, key, pose_batch)
 
-        # NaN guard (multiply_model.py:212-214): skip the update entirely
-        finite = jnp.isfinite(loss)
-        grads = jax.tree.map(
-            lambda g: jnp.where(finite & jnp.all(jnp.isfinite(g)), g, 0.0), grads
+        # NaN guard (multiply_model.py:212-214): skip the update entirely —
+        # params AND optimizer state (m, v, count) stay untouched, matching
+        # the reference's `continue` (see the jnp.where gates on the results
+        # below; zeroed grads alone would still advance Adam along momentum).
+        finite = jnp.isfinite(loss) & jax.tree.reduce(
+            jnp.logical_and,
+            jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads),
         )
+        grads = jax.tree.map(lambda g: jnp.where(finite, g, 0.0), grads)
 
         lr_now = multistep_lr(self.lr, epoch, self.milestones, self.gamma)
         masks = _active_masks(ts.params, batch.mode)
@@ -300,6 +304,17 @@ class TrainStep:
             pose_masks,
         )
         new_params = {"net": new_params["net"], "body": new_body}
+
+        # full skip on non-finite: revert params and optimizer state
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_params, ts.params
+        )
+        new_joint = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_joint, ts.opt_joint
+        )
+        new_pose = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), new_pose, ts.opt_pose
+        )
 
         logs["lr"] = lr_now
         return (

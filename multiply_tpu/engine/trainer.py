@@ -855,11 +855,20 @@ class Trainer:
                     jnp.logical_and,
                     jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads),
                 )
-                grads = jax.tree.map(
-                    lambda g: jnp.where(finite, g, 0.0), grads
-                )
-                new_params, new_opt = adam_update(
+                upd_params, upd_opt = adam_update(
                     grads, opt_state, params, lr, None, active
+                )
+                # full skip on non-finite, matching the reference's
+                # `if not torch.isfinite(loss): continue`
+                # (multiply_model.py:212-214): params AND optimizer state
+                # (m, v, count) are left untouched, not just the gradient.
+                new_params = jax.tree.map(
+                    lambda new, old: jnp.where(finite, new, old),
+                    upd_params, params,
+                )
+                new_opt = jax.tree.map(
+                    lambda new, old: jnp.where(finite, new, old),
+                    upd_opt, opt_state,
                 )
                 return new_params, new_opt, val, parts, finite
 

@@ -541,6 +541,9 @@ class MultiplyRenderer:
             # (stable sort resolves cross-person ties person-major, hence
             # <= for q < p, < for q > p). The cross term is an (R,S,S)
             # mask·fe contraction — MXU work instead of a 9-operand sort.
+            # COST: O(P²·R·S²) FLOPs and an (R,S,S) f32 mask per ordered
+            # pair (~20 MB at R=512, S=98; grows quadratically if anyone
+            # raises render samples) — opt-in only after an end-to-end A/B.
             cum_own = jnp.cumsum(fe, axis=-1)
             own_prefix = cum_own - fe  # exclusive prefix, (P,R,S)
             cross = []

@@ -499,12 +499,32 @@ class SamPredictor:
 # ---------------------------------------------------------------------------
 
 
-def port_torch_checkpoint(path: str, variant: str = "vit_h") -> dict:
-    """Map the official SAM torch state dict onto this flax parameter tree."""
+class _TrackedDict(dict):
+    """Dict recording which keys were read — surfaces port gaps at first
+    contact with a real checkpoint (an unread key = a weight we silently
+    dropped)."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.accessed: set = set()
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+
+def port_torch_checkpoint(path: str, variant: str = "vit_h", strict: bool = True) -> dict:
+    """Map the official SAM torch state dict onto this flax parameter tree.
+
+    strict=True (default) raises if any checkpoint key goes unconsumed —
+    e.g. `sam_vit_h_4b8939.pth` carrying a tensor this port doesn't map.
+    Contract frozen in tests/data/sam_manifests/ (consumer:
+    /root/reference/code/lib/model/sam_model.py:46-55).
+    """
     import torch
 
     sd = torch.load(path, map_location="cpu")
-    t = {k: v.numpy() for k, v in sd.items()}
+    t = _TrackedDict({k: v.numpy() for k, v in sd.items()})
     cfg = VIT_CONFIGS[variant]
     p: dict = {"image_encoder": {}, "prompt_encoder": {}, "mask_decoder": {}}
     enc = p["image_encoder"]
@@ -647,6 +667,12 @@ def port_torch_checkpoint(path: str, variant: str = "vit_h") -> dict:
     md["iou_lin1"] = lin(f"{pre}.1")
     md["iou_lin2"] = lin(f"{pre}.2")
 
+    unused = set(t) - t.accessed
+    if unused and strict:
+        raise ValueError(
+            f"port_torch_checkpoint({variant}): {len(unused)} checkpoint "
+            f"keys not consumed by the port: {sorted(unused)[:8]}..."
+        )
     return {"params": p}
 
 

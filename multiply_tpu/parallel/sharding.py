@@ -47,19 +47,41 @@ def shard_rays(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(put, tree)
 
 
+# Batch fields that carry a per-ray leading axis (engine/train.py Batch);
+# everything else (camera pose, intrinsics, frame index, scale) replicates.
+PER_RAY_FIELDS = ("uv", "rgb", "sam_mask")
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Shard a training Batch: per-ray arrays split, per-frame fields replicate."""
+    """Shard a training Batch: per-ray arrays split, per-frame fields replicate.
+
+    Per-ray fields are identified BY NAME, not by shape heuristics (a (4, 4)
+    camera pose on a 4-device mesh must not get ray-sharded). A per-ray
+    leading dim that doesn't divide the mesh size raises instead of silently
+    replicating — silent replication "works" but wastes the whole mesh.
+    """
     ray_sh = NamedSharding(mesh, P(RAY_AXIS))
     rep = NamedSharding(mesh, P())
     n = mesh.shape[RAY_AXIS]
 
-    def put(x):
+    out = {}
+    for name in batch._fields:
+        x = getattr(batch, name)
+        if x is None:
+            out[name] = None
+            continue
         x = jax.numpy.asarray(x)
-        if x.ndim >= 1 and x.shape[:1] != () and x.shape[0] % n == 0 and x.ndim >= 2:
-            return jax.device_put(x, ray_sh)
-        return jax.device_put(x, rep)
-
-    return jax.tree.map(put, batch)
+        if name in PER_RAY_FIELDS and x.ndim >= 1:
+            if x.shape[0] % n != 0:
+                raise ValueError(
+                    f"batch.{name} has {x.shape[0]} rays, not divisible by "
+                    f"the {n}-device mesh — pad the ray batch to a multiple "
+                    f"of {n} (e.g. {-(-x.shape[0] // n) * n})"
+                )
+            out[name] = jax.device_put(x, ray_sh)
+        else:
+            out[name] = jax.device_put(x, rep)
+    return type(batch)(**out)
 
 
 def sharded_train_step(step_fn, mesh: Mesh):

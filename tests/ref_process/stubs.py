@@ -1,0 +1,340 @@
+"""Functional CPU stand-ins for the reference's CUDA-only dependencies.
+
+The reference process (`/root/reference/code/lib/model/multiply.py` +
+`loss.py` + the training_step logic of `multiply_model.py:131-227`) imports
+kaolin / pytorch3d / nerfacc / trimesh / hydra, none of which are installed
+here. These are NOT mocks: each stub implements the exact math the reference
+relies on (documented per function), in pure torch/numpy, so the reference
+process runs numerically for real on CPU. Install with `install()` BEFORE
+importing `lib.model.multiply`.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import torch
+
+# ---------------------------------------------------------------------------
+# nerfacc: packed volume rendering (nerfacc 0.5.x semantics, as consumed at
+# multiply.py:455-481). transmittance is EXCLUSIVE (T before each sample).
+# ---------------------------------------------------------------------------
+
+
+def _segment_exclusive_cumsum(x, ray_indices, n_rays):
+    """Exclusive cumsum of x within each ray segment (ray_indices sorted)."""
+    cs = torch.cumsum(x, dim=0)
+    excl = torch.cat([torch.zeros(1, dtype=x.dtype), cs[:-1]])
+    # subtract the running total at each ray's segment start
+    first = torch.full((n_rays,), -1, dtype=torch.long)
+    idx = torch.arange(len(ray_indices) - 1, -1, -1)
+    first[ray_indices.flip(0)] = idx  # first occurrence per ray
+    base = torch.where(first > 0, excl[first.clamp(min=0)], torch.zeros(()))
+    base = torch.where(first >= 0, base, torch.zeros(()))
+    return excl - base[ray_indices]
+
+
+def render_weight_from_density(t_starts, t_ends, sigmas, ray_indices=None, n_rays=None):
+    sdt = sigmas * (t_ends - t_starts)
+    alphas = 1.0 - torch.exp(-sdt)
+    trans = torch.exp(-_segment_exclusive_cumsum(sdt, ray_indices, n_rays))
+    return trans * alphas, trans, alphas
+
+
+def pack_info(ray_indices, n_rays=None):
+    counts = torch.bincount(ray_indices, minlength=n_rays)
+    starts = torch.cumsum(counts, 0) - counts
+    return torch.stack([starts, counts], dim=1)
+
+
+def accumulate_along_rays(weights, values=None, ray_indices=None, n_rays=None):
+    src = weights[:, None] if values is None else weights[:, None] * values
+    out = torch.zeros(n_rays, src.shape[1], dtype=src.dtype)
+    out.index_add_(0, ray_indices, src)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pytorch3d.ops.knn_points (deformer.py:39): squared distances, K nearest.
+# ---------------------------------------------------------------------------
+
+
+def knn_points(pts, verts, K=1, return_nn=False):
+    # pts (1, N, 3), verts (1, V, 3)
+    d2 = torch.cdist(pts[0], verts[0]) ** 2  # (N, V)
+    dist, idx = torch.topk(d2, K, dim=-1, largest=False)
+    nn = verts[0][idx] if return_nn else None
+    return dist[None], idx[None], (nn[None] if nn is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# kaolin (multiply.py:155-158): point->mesh squared distance + sign test
+# ---------------------------------------------------------------------------
+
+
+def index_vertices_by_faces(verts, faces):
+    return verts[:, faces.long()]  # (1, F, 3, 3)
+
+
+def _point_triangle_sq(points, tri):
+    """Ericson closest-point-on-triangle, batched: points (N,3), tri (F,3,3).
+    Returns (N, F) squared distances."""
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab, ac = b - a, c - a
+    p = points[:, None, :]  # (N,1,3)
+    ap = p - a[None]
+    d1 = (ab[None] * ap).sum(-1)
+    d2 = (ac[None] * ap).sum(-1)
+    bp = p - b[None]
+    d3 = (ab[None] * bp).sum(-1)
+    d4 = (ac[None] * bp).sum(-1)
+    cp = p - c[None]
+    d5 = (ab[None] * cp).sum(-1)
+    d6 = (ac[None] * cp).sum(-1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = (vb + vc + va).clamp(min=1e-30)
+    v = (vb / denom).clamp(0, 1)
+    w = (vc / denom).clamp(0, 1)
+    # interior candidate
+    proj = a[None] + v[..., None] * ab[None] + w[..., None] * ac[None]
+
+    # edge/vertex candidates
+    t_ab = (d1 / (d1 - d3).clamp(min=1e-30)).clamp(0, 1)
+    p_ab = a[None] + t_ab[..., None] * ab[None]
+    t_ac = (d2 / (d2 - d6).clamp(min=1e-30)).clamp(0, 1)
+    p_ac = a[None] + t_ac[..., None] * ac[None]
+    t_bc = ((d4 - d3) / ((d4 - d3) + (d5 - d6)).clamp(min=1e-30)).clamp(0, 1)
+    p_bc = b[None] + t_bc[..., None] * (c - b)[None]
+
+    cands = torch.stack([proj, p_ab, p_ac, p_bc, a.expand_as(proj), b.expand_as(proj), c.expand_as(proj)], dim=0)
+    d = ((cands - p[None]) ** 2).sum(-1)  # (7, N, F)
+    return d.min(0).values
+
+
+def point_to_mesh_distance(points, face_vertices):
+    """(1,N,3) x (1,F,3,3) -> squared distance (1,N), face idx, dist type.
+    Chunks over faces to bound memory."""
+    pts, tri = points[0], face_vertices[0]
+    N = pts.shape[0]
+    best = torch.full((N,), float("inf"))
+    best_idx = torch.zeros(N, dtype=torch.long)
+    CH = 2048
+    for f0 in range(0, tri.shape[0], CH):
+        d = _point_triangle_sq(pts, tri[f0 : f0 + CH])  # (N, ch)
+        m, i = d.min(dim=1)
+        upd = m < best
+        best = torch.where(upd, m, best)
+        best_idx = torch.where(upd, i + f0, best_idx)
+    return best[None], best_idx[None], torch.zeros_like(best_idx)[None]
+
+
+def check_sign(verts, faces, points):
+    """(1,V,3), (F,3), (1,N,3) -> (1,N) bool inside, via winding number
+    (generalized solid angle, robust for closed meshes)."""
+    v = verts[0][faces.long()]  # (F,3,3)
+    p = points[0]
+    N = p.shape[0]
+    wind = torch.zeros(N)
+    CH = 2048
+    for f0 in range(0, v.shape[0], CH):
+        a = v[f0 : f0 + CH, 0][None] - p[:, None]
+        b = v[f0 : f0 + CH, 1][None] - p[:, None]
+        c = v[f0 : f0 + CH, 2][None] - p[:, None]
+        la = a.norm(dim=-1)
+        lb = b.norm(dim=-1)
+        lc = c.norm(dim=-1)
+        num = (a * torch.cross(b, c, dim=-1)).sum(-1)
+        den = (
+            la * lb * lc
+            + (a * b).sum(-1) * lc
+            + (b * c).sum(-1) * la
+            + (c * a).sum(-1) * lb
+        )
+        wind += torch.atan2(num, den).sum(-1)
+    return (wind > np.pi)[None]  # total angle 4*pi inside -> atan2 sum 2*pi
+
+
+# ---------------------------------------------------------------------------
+# trimesh (multiply.py:208-214): oriented bbox + ray-box intersection. The
+# stub uses an axis-aligned enlarged box — valid for the parity harness
+# because every sampled ray is chosen to pass through both persons, so box
+# membership (the only thing consumed) is identical to trimesh's OBB.
+# ---------------------------------------------------------------------------
+
+
+class _BoxPrimitiveView:
+    def __init__(self, extents):
+        self.extents = extents
+
+
+class _OBB:
+    def __init__(self, extents, transform):
+        self.primitive = _BoxPrimitiveView(extents)
+        self.transform = transform
+
+    def copy(self):
+        return self
+
+
+class _StubTrimesh:
+    def __init__(self, vertices=None, faces=None, process=False):
+        self.vertices = np.asarray(vertices, np.float64)
+        self.faces = np.asarray(faces, np.int64)
+
+    @property
+    def bounding_box_oriented(self):
+        lo, hi = self.vertices.min(0), self.vertices.max(0)
+        tf = np.eye(4)
+        tf[:3, 3] = (lo + hi) / 2
+        return _OBB(hi - lo, tf)
+
+
+_BOX_TRIS = np.array(
+    [
+        [0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6],
+        [0, 4, 5], [0, 5, 1], [3, 2, 6], [3, 6, 7],
+        [1, 5, 6], [1, 6, 2], [0, 3, 7], [0, 7, 4],
+    ]
+)
+
+
+class _StubBox:
+    def __init__(self, extents, transform):
+        self.extents = np.asarray(extents, np.float64)
+        self.transform = np.asarray(transform, np.float64)
+
+    def to_mesh(self):
+        e = self.extents / 2
+        corners = np.array(
+            [
+                [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1],
+            ]
+        ) * e
+        corners = corners @ self.transform[:3, :3].T + self.transform[:3, 3]
+        return _StubTrimesh(vertices=corners, faces=_BOX_TRIS)
+
+
+class _StubRayMeshIntersector:
+    def __init__(self, mesh):
+        self.v = np.asarray(mesh.vertices)
+        self.f = np.asarray(mesh.faces)
+
+    def intersects_id(self, origins, dirs, multiple_hits=False, return_locations=True):
+        o = np.asarray(origins, np.float64)
+        d = np.asarray(dirs, np.float64)
+        tri = self.v[self.f]  # (F,3,3)
+        a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+        e1, e2 = b - a, c - a
+        # Moller-Trumbore, rays x faces
+        pvec = np.cross(d[:, None], e2[None])  # (R,F,3)
+        det = (pvec * e1[None]).sum(-1)
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tvec = o[:, None] - a[None]
+        u = (tvec * pvec).sum(-1) * inv
+        qvec = np.cross(tvec, e1[None])
+        v = (qvec * d[:, None]).sum(-1) * inv
+        t = (qvec * e2[None]).sum(-1) * inv
+        hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-9)
+        t = np.where(hit, t, np.inf)
+        first_tri = t.argmin(axis=1)
+        ray_hit = np.isfinite(t.min(axis=1))
+        index_ray = np.nonzero(ray_hit)[0]
+        index_tri = first_tri[index_ray]
+        locations = o[index_ray] + t[index_ray, index_tri, None] * d[index_ray]
+        return index_tri, index_ray, locations
+
+
+# ---------------------------------------------------------------------------
+# module installation
+# ---------------------------------------------------------------------------
+
+
+def install(smpl_model_dir: str | None = None, base_dir: str | None = None):
+    """Register stub modules in sys.modules (idempotent).
+
+    smpl_model_dir: where hydra.utils.to_absolute_path should resolve the
+    reference's 'lib/smpl/smpl_model' (our synthetic SMPL pickles).
+    base_dir: fallback root for other relative paths.
+    """
+    # hydra
+    hydra = types.ModuleType("hydra")
+    hydra_utils = types.ModuleType("hydra.utils")
+
+    def to_absolute_path(p):
+        if smpl_model_dir and "smpl_model" in str(p):
+            return smpl_model_dir
+        if base_dir:
+            import os
+
+            return os.path.join(base_dir, p)
+        return p
+
+    hydra_utils.to_absolute_path = to_absolute_path
+    hydra.utils = hydra_utils
+    sys.modules["hydra"] = hydra
+    sys.modules["hydra.utils"] = hydra_utils
+
+    # trimesh
+    trimesh = types.ModuleType("trimesh")
+    trimesh.Trimesh = _StubTrimesh
+    prim = types.ModuleType("trimesh.primitives")
+    prim.Box = _StubBox
+    ray_mod = types.ModuleType("trimesh.ray")
+    ray_tri = types.ModuleType("trimesh.ray.ray_triangle")
+    ray_tri.RayMeshIntersector = _StubRayMeshIntersector
+    ray_mod.ray_triangle = ray_tri
+    trimesh.primitives = prim
+    trimesh.ray = ray_mod
+    sys.modules["trimesh"] = trimesh
+    sys.modules["trimesh.primitives"] = prim
+    sys.modules["trimesh.ray"] = ray_mod
+    sys.modules["trimesh.ray.ray_triangle"] = ray_tri
+
+    # kaolin
+    kaolin = types.ModuleType("kaolin")
+    k_ops = types.ModuleType("kaolin.ops")
+    k_mesh = types.ModuleType("kaolin.ops.mesh")
+    k_mesh.index_vertices_by_faces = index_vertices_by_faces
+    k_mesh.check_sign = check_sign
+    k_metrics = types.ModuleType("kaolin.metrics")
+    k_tm = types.ModuleType("kaolin.metrics.trianglemesh")
+    k_tm.point_to_mesh_distance = point_to_mesh_distance
+    k_ops.mesh = k_mesh
+    k_metrics.trianglemesh = k_tm
+    kaolin.ops = k_ops
+    kaolin.metrics = k_metrics
+    sys.modules["kaolin"] = kaolin
+    sys.modules["kaolin.ops"] = k_ops
+    sys.modules["kaolin.ops.mesh"] = k_mesh
+    sys.modules["kaolin.metrics"] = k_metrics
+    sys.modules["kaolin.metrics.trianglemesh"] = k_tm
+
+    # pytorch3d
+    p3d = types.ModuleType("pytorch3d")
+    p3d_ops = types.ModuleType("pytorch3d.ops")
+    p3d_ops.knn_points = knn_points
+    p3d.ops = p3d_ops
+    sys.modules["pytorch3d"] = p3d
+    sys.modules["pytorch3d.ops"] = p3d_ops
+
+    # nerfacc
+    nerfacc = types.ModuleType("nerfacc")
+    nerfacc.render_weight_from_density = render_weight_from_density
+    nerfacc.pack_info = pack_info
+    nerfacc.accumulate_along_rays = accumulate_along_rays
+    sys.modules["nerfacc"] = nerfacc
+
+    # rend_util's module-scope imports that aren't installed
+    for name in ("imageio", "skimage"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)
