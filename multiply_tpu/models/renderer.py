@@ -129,8 +129,12 @@ class MultiplyRenderer:
         # pairwise-attenuation composite: replaces the 9-operand depth sort
         # with per-person cumsums + an (R,S,S) cross-person mask contraction
         # (MXU work instead of sort-network data movement); numerically
-        # identical to the sorted composite up to float association
-        self.composite_matmul = bool(conf.get("composite_matmul", False))
+        # identical to the sorted composite up to float association.
+        # On by default: won the round-4 on-chip A/B (+3.3% end-to-end,
+        # 5853 vs 5665 rays/s at the 512-ray full-scale config, docs/
+        # ab_r4.jsonl). Cost is O(P²·R·S²) — disable if raising render
+        # samples far past the production 98/person.
+        self.composite_matmul = bool(conf.get("composite_matmul", True))
         # clip each person's sampling interval to its box entry/exit
         # (use_bbox_sampler concept; off by default for reference parity)
         self.bbox_ray_range = bool(conf.get("bbox_ray_range", False))
@@ -543,7 +547,8 @@ class MultiplyRenderer:
             # mask·fe contraction — MXU work instead of a 9-operand sort.
             # COST: O(P²·R·S²) FLOPs and an (R,S,S) f32 mask per ordered
             # pair (~20 MB at R=512, S=98; grows quadratically if anyone
-            # raises render samples) — opt-in only after an end-to-end A/B.
+            # raises render samples). Default since the round-4 on-chip
+            # A/B: +3.3% end-to-end vs the sort (docs/ab_r4.jsonl).
             cum_own = jnp.cumsum(fe, axis=-1)
             own_prefix = cum_own - fe  # exclusive prefix, (P,R,S)
             cross = []

@@ -360,8 +360,15 @@ def test_composite_matmul_matches_sort(setup):
     """The pairwise-attenuation composite (composite_matmul: true) must equal
     the depth-sorted composite exactly (same math, different schedule): both
     implement the reference's packed multi-person interval rendering
-    (multiply.py:482-516)."""
-    renderer, state, params = setup
+    (multiply.py:482-516). The matmul path is the default since the round-4
+    on-chip A/B (+3.3%); the sort path must be pinned off explicitly."""
+    _, state, params = setup
+    renderer = MultiplyRenderer(
+        Config({**dict(TINY_CONF), "composite_matmul": False}),
+        num_persons=2,
+        num_frames=4,
+    )
+    assert not renderer.composite_matmul
     renderer2 = MultiplyRenderer(
         Config({**dict(TINY_CONF), "composite_matmul": True}),
         num_persons=2,
