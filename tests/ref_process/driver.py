@@ -35,6 +35,8 @@ SAMPLER = dict(
 LOSS_W = dict(
     eikonal_weight=0.1, bce_weight=5e-3, opacity_sparse_weight=3e-3,
     in_shape_weight=1e-2, sam_mask_weight=1e-1, sam_start_epoch=0,
+    smpl_surface_weight=0.0, smpl_surface_milestone=800,
+    zero_pose_weight=0.0, temporal_loss_weight=1.0, increase_sam=False,
 )
 LR = 5e-4
 
@@ -281,13 +283,14 @@ def ref_eval_forward(model, body, scene, frame, rays, epoch):
 
     model.eval()
     inputs, _ = ref_inputs(scene, frame, rays, epoch, body)
-    with torch.no_grad():
-        out = model(inputs)
+    # no_grad is NOT enough: forward() re-enables grad internally
+    # (multiply.py:176 torch.set_grad_enabled(True)) for the normals VJP
+    out = model(inputs)
     return {
-        "rgb_values": out["rgb_values"].numpy(),
-        "normal_values": out["normal_values"].numpy(),
-        "acc_map": out["acc_map"].numpy(),
-        "acc_person": out["acc_person_list"].numpy(),
+        "rgb_values": out["rgb_values"].detach().numpy(),
+        "normal_values": out["normal_values"].detach().numpy(),
+        "acc_map": out["acc_map"].detach().numpy(),
+        "acc_person": out["acc_person_list"].detach().numpy(),
     }
 
 
