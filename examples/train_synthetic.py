@@ -116,6 +116,7 @@ def main():
             print(
                 f"step {i:4d} loss={losses[-1]:.4f} rgb={float(logs['rgb_loss']):.4f} "
                 f"eik={float(logs['eikonal_loss']):.4f} sam={float(logs['sam_mask_loss']):.4f}"
+                f" skipped={int(float(logs.get('update_skipped', 0.0)))}"
             )
     dt = time.time() - t0
     print(f"{args.steps} steps in {dt:.1f}s; loss {losses[0]:.4f} -> {losses[-1]:.4f}")

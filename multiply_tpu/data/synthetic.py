@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -47,16 +49,57 @@ def make_scene(
     width: int = 64,
     seed: int = 0,
     model=None,
+    cache_dir: str | None = "outputs/scene_cache",
 ) -> SyntheticScene:
-    # GT generation is host-side bookkeeping: pin it to the CPU backend so
-    # demo runs on TPU don't waste minutes shipping eager ray-mesh ops
-    # through the accelerator (results are numpy either way)
+    # GT generation (per-frame ray-mesh intersection) is minutes at
+    # production resolution on one host core — cache the arrays on disk,
+    # keyed by the generation parameters. Only the default body model is
+    # cacheable (a custom `model` changes the geometry).
+    cache = None
+    if cache_dir is not None and model is None:
+        os.makedirs(cache_dir, exist_ok=True)
+        cache = os.path.join(
+            cache_dir, f"scene_f{num_frames}_p{num_persons}_{height}x{width}_s{seed}.npz"
+        )
+        if os.path.exists(cache):
+            try:
+                with np.load(cache) as z:
+                    betas = z["betas"]
+                    servers = [
+                        SMPLServer.create(synthetic_body_model(), betas=betas[i])
+                        for i in range(num_persons)
+                    ]
+                    return SyntheticScene(
+                        images=z["images"], masks=z["masks"],
+                        sam_logits=z["sam_logits"], poses=z["poses"],
+                        transl=z["transl"], betas=betas, scale=z["scale"],
+                        cam_pose=z["cam_pose"], intrinsics=z["intrinsics"],
+                        servers=servers, height=int(z["height"]),
+                        width=int(z["width"]),
+                    )
+            except Exception:
+                pass  # corrupt/stale cache: regenerate below
+
+    # pin generation to the CPU backend so demo runs on TPU don't waste
+    # minutes shipping eager ray-mesh ops through the accelerator
     try:
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            return _make_scene_impl(num_frames, num_persons, height, width, seed, model)
+            scene = _make_scene_impl(num_frames, num_persons, height, width, seed, model)
     except RuntimeError:  # no cpu backend registered (unusual)
-        return _make_scene_impl(num_frames, num_persons, height, width, seed, model)
+        scene = _make_scene_impl(num_frames, num_persons, height, width, seed, model)
+
+    if cache is not None:
+        arrays = {
+            k: getattr(scene, k)
+            for k in scene._fields
+            if k not in ("servers", "height", "width")
+        }
+        np.savez_compressed(
+            cache + ".tmp.npz", height=scene.height, width=scene.width, **arrays
+        )
+        os.replace(cache + ".tmp.npz", cache)
+    return scene
 
 
 def _make_scene_impl(

@@ -32,10 +32,21 @@ class Evaluator:
         person_state: PersonState,
         servers: list,
         pixel_per_batch: int = 512,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh — shards each pixel chunk's
+        rays across the mesh (params/person-state replicated), the same
+        data-parallel axis the training step uses (parallel/sharding.py).
+        The reference's inference is strictly single-GPU; this makes test
+        renders (512³ mesh exports aside) scale with chips."""
         self.renderer = renderer
         self.state = person_state
         self.servers = servers
+        self.mesh = mesh
+        if mesh is not None and pixel_per_batch % mesh.devices.size != 0:
+            # round the chunk up so every device gets equal rays
+            n = mesh.devices.size
+            pixel_per_batch = -(-pixel_per_batch // n) * n
         self.chunk = pixel_per_batch
 
         def render_chunk(net_params, person_state, inputs: RenderInputs):
@@ -84,6 +95,10 @@ class Evaluator:
                 frame_idx=idx,
                 epoch=jnp.asarray(epoch),
             )
+            if self.mesh is not None:
+                from ..parallel.sharding import shard_render_inputs
+
+                inputs = shard_render_inputs(inputs, self.mesh)
             chunk_out = self._render_chunk(net_params, state, inputs)
             for k, v in chunk_out.items():
                 outs[k].append(np.asarray(v))

@@ -317,6 +317,9 @@ class TrainStep:
         )
 
         logs["lr"] = lr_now
+        # observability: a frozen loss curve with update_skipped=1 means the
+        # non-finite guard is rejecting every step (some grad leaf is NaN)
+        logs["update_skipped"] = 1.0 - finite.astype(jnp.float32)
         return (
             TrainState(
                 params=new_params,

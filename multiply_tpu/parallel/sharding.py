@@ -84,6 +84,30 @@ def shard_batch(batch, mesh: Mesh):
     return type(batch)(**out)
 
 
+def shard_render_inputs(inputs, mesh: Mesh):
+    """Shard a RenderInputs for multi-chip inference: `uv` splits over the
+    ray axis, everything else (camera, per-person SMPL params, indices)
+    replicates. Same by-name contract and divisibility rule as shard_batch."""
+    ray_sh = NamedSharding(mesh, P(RAY_AXIS))
+    rep = NamedSharding(mesh, P())
+    n = mesh.shape[RAY_AXIS]
+
+    out = {}
+    for name in inputs._fields:
+        x = jax.numpy.asarray(getattr(inputs, name))
+        if name == "uv":
+            if x.shape[0] % n != 0:
+                raise ValueError(
+                    f"inputs.uv has {x.shape[0]} rays, not divisible by the "
+                    f"{n}-device mesh — pad the pixel chunk to a multiple "
+                    f"of {n} (e.g. {-(-x.shape[0] // n) * n})"
+                )
+            out[name] = jax.device_put(x, ray_sh)
+        else:
+            out[name] = jax.device_put(x, rep)
+    return type(inputs)(**out)
+
+
 def sharded_train_step(step_fn, mesh: Mesh):
     """Jit a TrainStep.step for the mesh.
 

@@ -84,6 +84,10 @@ def main():
     ev_ref = driver.ref_eval_forward(ref_model, ref_body, scene, 0, rays0, 30)
     from multiply_tpu.models.renderer import RenderInputs
 
+    render_jit = jax.jit(
+        lambda net, st, inputs: renderer.render(net, st, inputs, train=False)
+    )
+
     def our_eval(rays, frame, epoch):
         idx = jnp.asarray(frame)
         body = ts.params["body"]
@@ -98,7 +102,7 @@ def main():
             frame_idx=idx,
             epoch=jnp.asarray(epoch),
         )
-        return renderer.render(ts.params["net"], state, inputs, train=False)
+        return render_jit(ts.params["net"], state, inputs)
 
     ev_our = our_eval(rays0, 0, 30)
     rgb_mad = float(
@@ -110,6 +114,62 @@ def main():
     print(f"step-0 eval parity: rgb max|d|={rgb_mad:.2e} acc max|d|={acc_mad:.2e}",
           flush=True)
 
+    # ---- side-by-side full-frame renders (GT | reference | ours) ----
+    img_dir = os.path.join(ROOT, "docs", "runlog_parity")
+    os.makedirs(img_dir, exist_ok=True)
+    H, W = scene.height, scene.width
+
+    def frame_rays(chunk_uv):
+        px = chunk_uv[:, 0].astype(int)
+        py = chunk_uv[:, 1].astype(int)
+        return {
+            "uv": chunk_uv,
+            "rgb": scene.images[0][py, px],
+            "sam": scene.sam_logits[0][py, px],
+        }
+
+    def render_full(frame, epoch, chunk):
+        px, py = np.meshgrid(np.arange(W), np.arange(H))
+        uv = np.stack([px.ravel(), py.ravel()], -1).astype(np.float32)
+        pad = (-uv.shape[0]) % chunk
+        uv_p = np.concatenate([uv, np.repeat(uv[-1:], pad, 0)], 0)
+        ref_px, our_px = [], []
+        for i in range(0, uv_p.shape[0], chunk):
+            rays = frame_rays(uv_p[i : i + chunk])
+            ref_px.append(
+                driver.ref_eval_forward(
+                    ref_model, ref_body, scene, frame, rays, epoch
+                )["rgb_values"]
+            )
+            our_px.append(np.asarray(our_eval(rays, frame, epoch)["rgb_values"]))
+        n = uv.shape[0]
+        ref_img = np.concatenate(ref_px)[:n].reshape(H, W, 3)
+        our_img = np.concatenate(our_px)[:n].reshape(H, W, 3)
+        return ref_img, our_img
+
+    def save_sbs(path, panels):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        strip = np.concatenate([np.clip(p, 0, 1) for p in panels], axis=1)
+        plt.imsave(path, strip)
+
+    ref_img0, our_img0 = render_full(0, 30, args.rays)
+    render_mad0 = float(np.abs(ref_img0 - our_img0).max())
+    mse = float(np.square(ref_img0 - our_img0).mean())
+    render_psnr0 = float(-10.0 * np.log10(max(mse, 1e-12)))
+    save_sbs(
+        os.path.join(img_dir, "step0_render.png"),
+        [scene.images[0], ref_img0, our_img0],
+    )
+    print(
+        f"[{time.time()-t0:.0f}s] step-0 full-frame render: max|d|="
+        f"{render_mad0:.2e}, cross-PSNR {render_psnr0:.1f} dB",
+        flush=True,
+    )
+
     hdr = (
         "# RUNLOG_PARITY — end-to-end process parity vs the reference\n\n"
         "Setup: identical synthetic 2-person scene (6890-vert MPI-format SMPL\n"
@@ -120,6 +180,10 @@ def main():
         f"TrainStep. {args.steps} steps x {args.rays} rays.\n\n"
         f"**Step-0 deterministic eval-forward parity** (epoch 30, {args.rays}"
         f" rays): max|rgb diff| = {rgb_mad:.2e}, max|acc diff| = {acc_mad:.2e}\n\n"
+        f"**Step-0 full-frame render** ({H}x{W}, identical weights): "
+        f"max|rgb diff| = {render_mad0:.2e}, cross-PSNR {render_psnr0:.1f} dB "
+        "— side-by-side (GT | reference | ours): "
+        "![step0](docs/runlog_parity/step0_render.png)\n\n"
         "| step | epoch | ref loss | our loss | ref rgb | our rgb | ref bce |"
         " our bce | ref eik | our eik | ref sam | our sam |\n"
         "|---|---|---|---|---|---|---|---|---|---|---|---|\n"
@@ -163,6 +227,19 @@ def main():
                 flush=True,
             )
 
+    # post-training side-by-side: each side trained N steps with its own
+    # sampling RNG — renders should agree visually / in cross-PSNR even
+    # though weights are no longer bit-identical
+    ref_imgN, our_imgN = render_full(0, (args.steps - 1) // N_FRAMES, args.rays)
+    mseN = float(np.square(ref_imgN - our_imgN).mean())
+    render_psnrN = float(-10.0 * np.log10(max(mseN, 1e-12)))
+    save_sbs(
+        os.path.join(img_dir, "final_render.png"),
+        [scene.images[0], ref_imgN, our_imgN],
+    )
+    print(f"[{time.time()-t0:.0f}s] final render cross-PSNR {render_psnrN:.1f} dB",
+          flush=True)
+
     ref_rgb = np.array([h[0]["rgb_loss"] for h in hist])
     our_rgb = np.array([h[1]["rgb_loss"] for h in hist])
     k = max(args.steps // 10, 2)
@@ -170,6 +247,9 @@ def main():
         "steps": args.steps,
         "rgb_mad_step0_eval": rgb_mad,
         "acc_mad_step0_eval": acc_mad,
+        "render_mad_step0": render_mad0,
+        "render_cross_psnr_step0_db": round(render_psnr0, 2),
+        "render_cross_psnr_final_db": round(render_psnrN, 2),
         "ref_rgb_first": float(ref_rgb[:k].mean()),
         "our_rgb_first": float(our_rgb[:k].mean()),
         "ref_rgb_last": float(ref_rgb[-k:].mean()),
@@ -186,7 +266,11 @@ def main():
             f"{summary['ref_rgb_last']:.4f} vs ours {summary['our_rgb_last']:.4f} "
             f"({rel*100:.1f}% apart). Both trajectories start from the same "
             "signal (identical weights) and descend together; residual gaps "
-            "reflect independent sampling RNG, not systematic divergence.\n"
+            "reflect independent sampling RNG, not systematic divergence.\n\n"
+            f"Post-training full-frame render (each side after {args.steps} "
+            f"steps of its own optimizer): cross-PSNR {render_psnrN:.1f} dB "
+            "(GT | reference | ours): "
+            "![final](docs/runlog_parity/final_render.png)\n"
         )
     print(json.dumps(summary), flush=True)
 

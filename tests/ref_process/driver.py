@@ -392,176 +392,3 @@ def port_ref_weights(ref_model, our_net_params, num_persons: int):
         ref_model.density.beta.detach().numpy().reshape(-1)
     )
     return params
-
-
-# ---------------------------------------------------------------------------
-# our side
-# ---------------------------------------------------------------------------
-
-
-def build_ours(scene, num_frames: int, num_persons: int, grid_res: int = 64):
-    """Our renderer + TrainStep with the mirrored config. grid_res=64 keeps
-    the baked canonical-SDF in/off-surface test close to the reference's
-    exact point-to-mesh distances (multiply.py:153-168)."""
-    import jax
-    import jax.numpy as jnp
-
-    from multiply_tpu.body.params import BodyParamTable
-    from multiply_tpu.engine.train import TrainStep
-    from multiply_tpu.models.loss import LossConfig
-    from multiply_tpu.models.renderer import MultiplyRenderer
-
-    conf = our_conf(num_frames)
-    renderer = MultiplyRenderer(conf, num_persons=num_persons, num_frames=num_frames)
-    state = renderer.build_person_state(scene.servers, grid_res=grid_res)
-    loss_cfg = LossConfig(
-        eikonal_weight=LOSS_W["eikonal_weight"],
-        bce_weight=LOSS_W["bce_weight"],
-        opacity_sparse_weight=LOSS_W["opacity_sparse_weight"],
-        in_shape_weight=LOSS_W["in_shape_weight"],
-        sam_mask_weight=LOSS_W["sam_mask_weight"],
-        sam_start_epoch=LOSS_W["sam_start_epoch"],
-    )
-    builder = TrainStep(renderer, state, loss_cfg, learning_rate=LR)
-    tables = [
-        BodyParamTable.create(
-            num_frames,
-            betas=scene.betas[p],
-            global_orient=scene.poses[:, p, :3],
-            transl=scene.transl[:, p],
-            body_pose=scene.poses[:, p, 3:],
-        )
-        for p in range(num_persons)
-    ]
-    ts = builder.init_state(
-        jax.random.PRNGKey(0), jax.tree.map(lambda *xs: jnp.stack(xs), *tables)
-    )
-    return renderer, state, builder, ts
-
-
-def our_batch(scene, frame: int, rays: dict, mode=None):
-    import jax.numpy as jnp
-
-    from multiply_tpu.engine.train import MODE_JOINT, Batch
-
-    return Batch(
-        uv=jnp.asarray(rays["uv"]),
-        rgb=jnp.asarray(rays["rgb"]),
-        pose=jnp.asarray(scene.cam_pose[frame]),
-        intrinsics=jnp.asarray(scene.intrinsics),
-        frame_idx=jnp.asarray(frame),
-        smpl_scale=jnp.asarray(scene.scale),
-        sam_mask=jnp.asarray(rays["sam"]),
-        mode=jnp.asarray(MODE_JOINT if mode is None else mode),
-    )
-
-
-def our_render_inputs(ts, scene, frame: int, rays: dict, epoch: int):
-    import jax
-    import jax.numpy as jnp
-
-    from multiply_tpu.models.renderer import RenderInputs
-
-    body = ts.params["body"]
-    idx = jnp.asarray(frame)
-    return RenderInputs(
-        uv=jnp.asarray(rays["uv"]),
-        pose=jnp.asarray(scene.cam_pose[frame]),
-        intrinsics=jnp.asarray(scene.intrinsics),
-        scale=jnp.asarray(scene.scale),
-        transl=jax.vmap(lambda t: t.transl[idx])(body),
-        thetas=jax.vmap(lambda t: t.thetas(idx))(body),
-        betas=jax.vmap(lambda t: t.betas[0])(body),
-        frame_idx=idx,
-        epoch=jnp.asarray(epoch),
-    )
-
-
-def our_eval_forward(renderer, state, ts, scene, frame: int, rays: dict,
-                     epoch: int):
-    inputs = our_render_inputs(ts, scene, frame, rays, epoch)
-    out = renderer.render(ts.params["net"], state, inputs, train=False)
-    return {
-        "rgb_values": np.asarray(out["rgb_values"]),
-        "normal_values": np.asarray(out["normal_values"]),
-        "acc_map": np.asarray(out["acc_map"]),
-        "acc_person": np.asarray(out["acc_person_list"]),
-    }
-
-
-# ---------------------------------------------------------------------------
-# phase runners
-# ---------------------------------------------------------------------------
-
-
-def run_phase_a(workdir: str, n_rays: int = 24, num_frames: int = 2,
-                epoch: int = 0):
-    """Deterministic full-system forward parity: same weights, same rays,
-    eval-mode sampling on both sides. Returns {field: max_abs_err}."""
-    import jax.numpy as jnp
-
-    scene, model, smpl_dir, betas_path = build_assets(
-        workdir, num_frames=num_frames
-    )
-    ref_model, ref_loss, body, _ = build_reference(
-        workdir, scene, smpl_dir, betas_path, num_frames
-    )
-    renderer, state, builder, ts = build_ours(
-        scene, num_frames, scene.betas.shape[0]
-    )
-    net = port_ref_weights(ref_model, ts.params["net"], scene.betas.shape[0])
-    ts = ts._replace(params={**ts.params, "net": net})
-
-    rays = pick_rays(scene, 0, n_rays)
-    ref_out = ref_eval_forward(ref_model, body, scene, 0, rays, epoch)
-    our_out = our_eval_forward(renderer, state, ts, scene, 0, rays, epoch)
-    errs = {
-        k: float(np.abs(ref_out[k] - our_out[k].reshape(ref_out[k].shape)).max())
-        for k in ref_out
-    }
-    return errs, (scene, ref_model, ref_loss, body, renderer, state, builder, ts)
-
-
-def run_phase_b(handles, n_steps: int, n_rays: int = 64, epoch: int = 0,
-                log_every: int = 1, on_record=None):
-    """Matched training trajectories: same per-step ray batches, frozen
-    epoch schedule, each side using its own RNG for sampling jitter and
-    eikonal points (the only stochastic components). Returns per-step loss
-    logs for both sides."""
-    import jax
-    import torch
-
-    (scene, ref_model, ref_loss, body, renderer, state, builder, ts) = handles
-    num_frames = scene.poses.shape[0]
-
-    body_leaves = [v for d in body for v in d.values()]
-    optimizer = torch.optim.Adam(
-        [
-            {"params": list(ref_model.parameters()), "lr": LR},
-            {"params": body_leaves, "lr": LR * 0.1},
-        ],
-        lr=LR,
-        eps=1e-8,
-    )
-
-    import jax.numpy as jnp
-
-    step = builder.jitted_step()
-    ts = ts._replace(epoch=jnp.asarray(epoch))
-    key = jax.random.PRNGKey(7)
-    torch.manual_seed(7)
-
-    ref_log, our_log = [], []
-    for i in range(n_steps):
-        frame = i % num_frames
-        rays = pick_rays(scene, frame, n_rays, seed=1000 + i)
-        ref_rec = ref_train_step(
-            ref_model, ref_loss, body, optimizer, scene, frame, rays, epoch
-        )
-        ts, logs = step(ts, our_batch(scene, frame, rays), jax.random.fold_in(key, i))
-        our_rec = {k: float(v) for k, v in logs.items() if jnp.ndim(v) == 0}
-        ref_log.append(ref_rec)
-        our_log.append(our_rec)
-        if on_record is not None and (i % log_every == 0 or i == n_steps - 1):
-            on_record(i, ref_rec, our_rec)
-    return ref_log, our_log, ts

@@ -212,3 +212,30 @@ def test_layout_errors_are_actionable(fake_root, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="end_frame"):
         Hi4DSequence(root, end_frame=F + 5, using_sam=False)
+
+
+def test_make_scene_disk_cache(tmp_path):
+    """make_scene writes an npz cache keyed by generation params and the
+    cached load reproduces the arrays exactly (servers rebuilt from betas)."""
+    from multiply_tpu.data.synthetic import make_scene
+
+    cache = str(tmp_path / "scene_cache")
+    a = make_scene(num_frames=1, num_persons=2, height=16, width=20,
+                   cache_dir=cache)
+    files = os.listdir(cache)
+    assert files == ["scene_f1_p2_16x20_s0.npz"]
+    b = make_scene(num_frames=1, num_persons=2, height=16, width=20,
+                   cache_dir=cache)
+    for k in ("images", "masks", "sam_logits", "poses", "transl", "betas",
+              "scale", "cam_pose", "intrinsics"):
+        np.testing.assert_array_equal(getattr(a, k), getattr(b, k))
+    assert (a.height, a.width) == (b.height, b.width)
+    assert len(b.servers) == 2
+    np.testing.assert_allclose(
+        np.asarray(a.servers[0].verts_c), np.asarray(b.servers[0].verts_c)
+    )
+    # different params -> different cache entry, no collision
+    c = make_scene(num_frames=2, num_persons=2, height=16, width=20,
+                   cache_dir=cache)
+    assert c.images.shape[0] == 2
+    assert len(os.listdir(cache)) == 2

@@ -118,3 +118,46 @@ def test_sharded_step_matches_single_device(setup):
     l8 = jax.tree_util.tree_leaves(ts8.params["net"]["fg_implicit"])
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sharded_evaluator_matches_single_device(setup):
+    """Multi-chip inference: a full-image eval render with rays sharded over
+    the 8-device mesh equals the single-device render (the reference's
+    validation/test path is single-GPU; ours scales with chips)."""
+    from multiply_tpu.engine.evaluator import Evaluator
+
+    scene, builder, ts = setup
+    renderer, state = builder.renderer, builder.state
+    tables = ts.params["body"]
+
+    H, W = scene.height, scene.width
+    px, py = np.meshgrid(np.arange(W), np.arange(H))
+    item = {
+        "uv": np.stack([px.ravel(), py.ravel()], -1).astype(np.float32),
+        "img_size": (H, W),
+        "idx": 0,
+        "pose": scene.cam_pose[0],
+        "intrinsics": scene.intrinsics,
+        "smpl_scale": scene.scale,
+        "rgb": scene.images[0].reshape(-1, 3),
+    }
+
+    ev1 = Evaluator(renderer, state, scene.servers, pixel_per_batch=256)
+    out1 = ev1.render_image(ts.params["net"], tables, item, epoch=100)
+
+    mesh = make_mesh()
+    ev8 = Evaluator(
+        renderer, state, scene.servers, pixel_per_batch=250, mesh=mesh
+    )  # 250 rounds up to 256 for the 8-device mesh
+    assert ev8.chunk == 256
+    net_r = replicate(ts.params["net"], mesh)
+    state_r = replicate(state, mesh)
+    out8 = ev8.render_image(net_r, tables, item, epoch=100, person_state=state_r)
+
+    np.testing.assert_allclose(
+        out1["rgb_image"], out8["rgb_image"], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        out1["instance_images"], out8["instance_images"], atol=2e-5
+    )
+    np.testing.assert_allclose(out1["psnr"], out8["psnr"], rtol=1e-4)
