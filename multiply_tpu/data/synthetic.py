@@ -26,6 +26,15 @@ from ..utils.cameras import get_camera_params, pixel_grid
 PERSON_COLORS = np.array([[0.85, 0.3, 0.25], [0.25, 0.4, 0.85], [0.3, 0.8, 0.3]])
 BG_COLOR = np.array([0.9, 0.9, 0.85])
 
+# Bump on ANY change to _make_scene_impl, the synthetic body model, cameras,
+# or SAM-logit generation: the disk cache key embeds it so stale pre-change
+# scenes can never silently feed tests/benches/parity runs.
+# v2: sub-pixel principal point (kills the exact through-origin center ray,
+#     which is degenerate in the NeRF++ inverse-sphere parameterization —
+#     reference multiply.py:698-726 has no guard and NaNs on it; real data
+#     never produces such a ray).
+SCENE_CACHE_VERSION = 2
+
 
 class SyntheticScene(NamedTuple):
     images: np.ndarray  # (F, H, W, 3)
@@ -59,7 +68,9 @@ def make_scene(
     if cache_dir is not None and model is None:
         os.makedirs(cache_dir, exist_ok=True)
         cache = os.path.join(
-            cache_dir, f"scene_f{num_frames}_p{num_persons}_{height}x{width}_s{seed}.npz"
+            cache_dir,
+            f"scene_v{SCENE_CACHE_VERSION}_f{num_frames}_p{num_persons}"
+            f"_{height}x{width}_s{seed}.npz",
         )
         if os.path.exists(cache):
             try:
@@ -95,10 +106,9 @@ def make_scene(
             for k in scene._fields
             if k not in ("servers", "height", "width")
         }
-        np.savez_compressed(
-            cache + ".tmp.npz", height=scene.height, width=scene.width, **arrays
-        )
-        os.replace(cache + ".tmp.npz", cache)
+        tmp = f"{cache}.tmp{os.getpid()}.npz"
+        np.savez_compressed(tmp, height=scene.height, width=scene.width, **arrays)
+        os.replace(tmp, cache)
     return scene
 
 
@@ -131,8 +141,14 @@ def _make_scene_impl(
     cam[:3, 3] = [0.0, 0.0, -2.5]
     cam_pose = np.tile(cam, (num_frames, 1, 1))
     f_px = 0.9 * width
+    # Sub-pixel principal point, like any real calibrated camera. An integer
+    # principal point + axis-aligned camera makes the exact center pixel's ray
+    # pass through the world origin, which is degenerate (0/0 rot axis) in the
+    # reference's NeRF++ depth2pts_outside (multiply.py:713-715) — a
+    # measure-zero event for real data that the reference rightly never guards.
     intr = np.array(
-        [[f_px, 0, width / 2], [0, f_px, height / 2], [0, 0, 1]], np.float32
+        [[f_px, 0, width / 2 + 0.37], [0, f_px, height / 2 + 0.23], [0, 0, 1]],
+        np.float32,
     )
 
     uv = pixel_grid(width, height)

@@ -43,10 +43,14 @@ class Evaluator:
         self.state = person_state
         self.servers = servers
         self.mesh = mesh
-        if mesh is not None and pixel_per_batch % mesh.devices.size != 0:
-            # round the chunk up so every device gets equal rays
-            n = mesh.devices.size
-            pixel_per_batch = -(-pixel_per_batch // n) * n
+        if mesh is not None:
+            # round the chunk up by the ray-sharding axis (not total devices:
+            # a multi-axis mesh shards rays along RAY_AXIS only)
+            from ..parallel.sharding import RAY_AXIS
+
+            n = mesh.shape[RAY_AXIS]
+            if pixel_per_batch % n != 0:
+                pixel_per_batch = -(-pixel_per_batch // n) * n
         self.chunk = pixel_per_batch
 
         def render_chunk(net_params, person_state, inputs: RenderInputs):

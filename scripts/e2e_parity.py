@@ -180,6 +180,12 @@ def main():
         f"TrainStep. {args.steps} steps x {args.rays} rays.\n\n"
         f"**Step-0 deterministic eval-forward parity** (epoch 30, {args.rays}"
         f" rays): max|rgb diff| = {rgb_mad:.2e}, max|acc diff| = {acc_mad:.2e}\n\n"
+        "Note on the bce columns: the reference's packed composite rounds\n"
+        "acc_map slightly above 1 on saturated rays, its own guard\n"
+        "(loss.py:125-128) then zeroes the WHOLE bce term for that step\n"
+        "(it prints 'Nan: bce_loss'); our fixed-shape composite does not\n"
+        "saturate past 1, so our bce stays finite. The component differs by\n"
+        "design of the reference's guard, weight 5e-3.\n\n"
         f"**Step-0 full-frame render** ({H}x{W}, identical weights): "
         f"max|rgb diff| = {render_mad0:.2e}, cross-PSNR {render_psnr0:.1f} dB "
         "— side-by-side (GT | reference | ours): "
@@ -212,6 +218,17 @@ def main():
         ts = ts._replace(epoch=jnp.asarray(epoch))
         ts, logs = step(ts, batch, jax.random.fold_in(key, i))
         o = {k: float(v) for k, v in logs.items() if np.ndim(v) == 0}
+        # Finiteness abort: a parity claim must never be formatted from NaNs.
+        for side, d in (("reference", r), ("ours", o)):
+            bad = [k for k, v in d.items() if not np.isfinite(v)]
+            if bad:
+                msg = (
+                    f"ABORT at step {i}: non-finite {side} losses {bad} — "
+                    "fix the producing term before publishing a parity runlog."
+                )
+                with open(args.out, "a") as f:
+                    f.write(f"\n**{msg}**\n")
+                raise SystemExit(msg)
         hist.append((r, o))
         if i % 10 == 0 or i == args.steps - 1:
             with open(args.out, "a") as f:
@@ -261,12 +278,16 @@ def main():
         rel = abs(summary["our_rgb_last"] - summary["ref_rgb_last"]) / max(
             summary["ref_rgb_last"], 1e-9
         )
+        ref_desc = summary["ref_rgb_last"] < summary["ref_rgb_first"]
+        our_desc = summary["our_rgb_last"] < summary["our_rgb_first"]
         f.write(
             f"\nFinal-{k}-step mean rgb loss: reference "
             f"{summary['ref_rgb_last']:.4f} vs ours {summary['our_rgb_last']:.4f} "
-            f"({rel*100:.1f}% apart). Both trajectories start from the same "
-            "signal (identical weights) and descend together; residual gaps "
-            "reflect independent sampling RNG, not systematic divergence.\n\n"
+            f"({rel*100:.1f}% apart). First-{k}-step means: reference "
+            f"{summary['ref_rgb_first']:.4f} vs ours {summary['our_rgb_first']:.4f}. "
+            f"Reference descended: {ref_desc}; ours descended: {our_desc}. "
+            "Both sides start from identical weights; per-step residual gaps "
+            "reflect independent sampling RNG.\n\n"
             f"Post-training full-frame render (each side after {args.steps} "
             f"steps of its own optimizer): cross-PSNR {render_psnrN:.1f} dB "
             "(GT | reference | ours): "

@@ -77,8 +77,18 @@ def main():
 
     total_s = epochs[-1]["t"] - epochs[0]["t"] + epochs[0]["epoch_seconds"]
     stage_overhead_s = total_s - sum(es)
-    # per-step cost at 8 steps/epoch -> production epoch at 75 frames
-    steps_per_epoch = 8
+    # steps/epoch from the run's own per-mode step counters (trainer logs
+    # n_joint/n_pose_only/n_delayed_pose every epoch) -> production epoch
+    # at 75 frames
+    counts = [
+        r["n_joint"] + r["n_pose_only"] + r["n_delayed_pose"]
+        for r in epochs
+        if all(k in r for k in ("n_joint", "n_pose_only", "n_delayed_pose"))
+    ]
+    if not counts:
+        raise SystemExit("metrics.jsonl lacks per-mode step counters; cannot "
+                         "derive steps/epoch")
+    steps_per_epoch = sum(counts) / len(counts)
     step_s = steady_s / steps_per_epoch
     prod_epoch_s = step_s * REF_FRAMES
     prod_hours = prod_epoch_s * REF_EPOCHS / 3600.0
@@ -104,7 +114,7 @@ def main():
         json.dumps(summary, indent=2),
         "```",
         "",
-        f"Steady-state epoch (8 steps x 512 rays): **{steady_s:.2f} s** -> "
+        f"Steady-state epoch ({steps_per_epoch:.0f} steps x 512 rays): **{steady_s:.2f} s** -> "
         f"{step_s*1e3:.0f} ms/step measured through the trainer (incl. host "
         "loop + data sampling). At the reference production schedule "
         f"(10k epochs x {REF_FRAMES} frames, 2 persons jointly): "

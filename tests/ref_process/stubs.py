@@ -62,11 +62,19 @@ def accumulate_along_rays(weights, values=None, ray_indices=None, n_rays=None):
 
 
 def knn_points(pts, verts, K=1, return_nn=False):
-    # pts (1, N, 3), verts (1, V, 3)
-    d2 = torch.cdist(pts[0], verts[0]) ** 2  # (N, V)
-    dist, idx = torch.topk(d2, K, dim=-1, largest=False)
-    nn = verts[0][idx] if return_nn else None
-    return dist[None], idx[None], (nn[None] if nn is not None else None)
+    # pts (1, N, 3), verts (1, V, 3). Selection under no_grad, then the K
+    # selected squared distances recomputed differentiably as sums of squared
+    # differences: exact (zero) gradients at zero distance, matching
+    # pytorch3d's CUDA kernel. `cdist(...)**2` would be NaN in backward at
+    # d=0 (0/0 in the norm derivative) — and the SMPL-surface loss queries
+    # posed SMPL verts against themselves, where d==0 exactly.
+    p, v = pts[0], verts[0]
+    with torch.no_grad():
+        d2 = torch.cdist(p, v) ** 2  # (N, V)
+        _, idx = torch.topk(d2, K, dim=-1, largest=False)
+    nn = v[idx]  # (N, K, 3) differentiable gather
+    dist = ((p[:, None, :] - nn) ** 2).sum(-1)
+    return dist[None], idx[None], (nn[None] if return_nn else None)
 
 
 # ---------------------------------------------------------------------------

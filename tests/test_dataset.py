@@ -223,7 +223,9 @@ def test_make_scene_disk_cache(tmp_path):
     a = make_scene(num_frames=1, num_persons=2, height=16, width=20,
                    cache_dir=cache)
     files = os.listdir(cache)
-    assert files == ["scene_f1_p2_16x20_s0.npz"]
+    from multiply_tpu.data.synthetic import SCENE_CACHE_VERSION
+
+    assert files == [f"scene_v{SCENE_CACHE_VERSION}_f1_p2_16x20_s0.npz"]
     b = make_scene(num_frames=1, num_persons=2, height=16, width=20,
                    cache_dir=cache)
     for k in ("images", "masks", "sam_logits", "poses", "transl", "betas",
