@@ -103,7 +103,9 @@ def main():
         return
 
     from multiply_tpu.data.synthetic import make_scene
+    from multiply_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     scene = make_scene(num_frames=4, num_persons=2, height=32, width=40)
     fast, scene = _measure(scene, sampler_bf16=True)
     line = {

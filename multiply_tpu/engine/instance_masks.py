@@ -22,6 +22,7 @@ from typing import Callable
 import numpy as np
 
 from ..native import rasterize_depth
+from ..utils.io import atomic_np_save
 
 NUM_PROMPT_JOINTS = 27
 
@@ -84,8 +85,8 @@ def run_instance_mask_stage(
 
     stage = os.path.join(out_dir, "stage_instance_mask", f"{epoch:05d}")
     os.makedirs(stage, exist_ok=True)
-    np.save(os.path.join(stage, "all_person_smpl_mask.npy"), masks)
-    np.save(os.path.join(stage, "2d_keypoint.npy"), kps)
+    atomic_np_save(os.path.join(stage, "all_person_smpl_mask.npy"), masks)
+    atomic_np_save(os.path.join(stage, "2d_keypoint.npy"), kps)
     return masks, kps
 
 

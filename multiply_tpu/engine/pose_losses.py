@@ -78,16 +78,25 @@ def interpenetration_loss(
     faces_list: list[jnp.ndarray],
     key: jax.Array,
     num_samples: int = 5120,
+    sample_idx: list[jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """Push sampled points of each mesh out of every partner mesh
     (multiply_model.py:521-551): inside-partner points get an MSE pull to
-    their nearest partner vertex (outlier-gated at 0.1m)."""
+    their nearest partner vertex (outlier-gated at 0.1m).
+
+    `sample_idx` (per person) pins the sampled vertex indices — used by the
+    process-parity tests to match the reference's randperm draw exactly."""
     loss = jnp.zeros(())
     P = len(verts_list)
     for pid in range(P):
         v = verts_list[pid]
-        k = jax.random.fold_in(key, pid)
-        idx = jax.random.randint(k, (min(num_samples, v.shape[0]),), 0, v.shape[0])
+        if sample_idx is not None:
+            idx = sample_idx[pid]
+        else:
+            k = jax.random.fold_in(key, pid)
+            idx = jax.random.randint(
+                k, (min(num_samples, v.shape[0]),), 0, v.shape[0]
+            )
         sample = v[idx]
         for partner in range(P):
             if partner == pid:

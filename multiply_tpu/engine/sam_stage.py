@@ -23,6 +23,7 @@ import os
 import numpy as np
 
 from .instance_masks import build_sam_prompts
+from ..utils.io import atomic_np_save
 
 
 class PriorSegmenter:
@@ -37,7 +38,7 @@ class PriorSegmenter:
         logits = np.where(masks, 8.0, -8.0).astype(np.float32)
         out_dir = os.path.join(run_dir, "stage_sam_mask", f"{epoch:05d}")
         os.makedirs(out_dir, exist_ok=True)
-        np.save(os.path.join(out_dir, "sam_opt_mask.npy"), logits)
+        atomic_np_save(os.path.join(out_dir, "sam_opt_mask.npy"), logits)
         return logits
 
 
@@ -150,7 +151,7 @@ class SamSegmenter:
         out = np.stack(out_frames, axis=0).astype(np.float32)
         out_dir = os.path.join(run_dir, "stage_sam_mask", f"{epoch:05d}")
         os.makedirs(out_dir, exist_ok=True)
-        np.save(os.path.join(out_dir, "sam_opt_mask.npy"), out)
+        atomic_np_save(os.path.join(out_dir, "sam_opt_mask.npy"), out)
         return out
 
     def _to_full_res(self, logits: np.ndarray, hw: tuple[int, int]) -> np.ndarray:

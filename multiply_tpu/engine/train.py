@@ -330,5 +330,7 @@ class TrainStep:
             logs,
         )
 
-    def jitted_step(self):
-        return jax.jit(self.step)
+    def jitted_step(self, donate: bool = False):
+        """`donate=True` aliases the train-state buffers (callers must
+        reassign their state every call, exactly like Trainer._step does)."""
+        return jax.jit(self.step, donate_argnums=(0,) if donate else ())

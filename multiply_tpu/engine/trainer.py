@@ -137,7 +137,11 @@ class Trainer:
             sched_factor=model_conf.sched_factor,
             interp_samples=self.interp_samples,
         )
-        self._step = jax.jit(self.builder.step)
+        # donate the train state: params/opt-state buffers are overwritten in
+        # place instead of allocated fresh each step (set
+        # MULTIPLY_TPU_NO_DONATE=1 to disable if a backend rejects aliasing)
+        donate = () if os.environ.get("MULTIPLY_TPU_NO_DONATE") else (0,)
+        self._step = jax.jit(self.builder.step, donate_argnums=donate)
         # multi-chip: rays data-parallel over a 1-D mesh, params replicated,
         # grad psum inserted by XLA (SURVEY §2.4; reference is single-GPU)
         self.mesh = None
@@ -256,47 +260,71 @@ class Trainer:
                 return MODE_DELAYED_POSE
         return MODE_JOINT
 
+    def _pose_window(self) -> bool:
+        """True when this epoch CAN produce MODE_POSE_ONLY steps (the epoch
+        part of _select_mode's is_pose_depth condition)."""
+        ep = self.epoch
+        return (
+            self.using_sam
+            and ep >= self.pose_start_epoch
+            and ep % self.pose_opt_interval < self.pose_opt_epoch
+            and ep < self.pose_end_epoch
+            and not self.depth_end
+        )
+
     # ------------------------------------------------------------------
     # canonical SDF queries for mesh extraction
     # ------------------------------------------------------------------
 
-    def canonical_sdf_fn(self, person_id: int, cond_pose=None):
+    def _params_snapshot(self):
+        """Donation-proof device-side COPY of the current params. The jitted
+        step donates self.ts, which invalidates its buffers the moment the
+        next step dispatches — any host thread that outlives a step (the
+        batch producer in pose-opt windows, the overlapped stage executor)
+        must work from a copy, not from self.ts itself."""
+        return jax.tree.map(jnp.array, self.ts.params)
+
+    def canonical_sdf_fn(self, person_id: int, cond_pose=None, params=None):
         """Host callable (N,3)->(N,) evaluating one person's canonical SDF
         (incl. per-person offset head / beta encoding when configured,
-        matching the reference's query_oc)."""
+        matching the reference's query_oc). `params` pins a snapshot for
+        background threads (defaults to the live train state)."""
+        params = self.ts.params if params is None else params
         if cond_pose is None:
             cond_dim = 69 + 64 if self.renderer.use_person_encoder else 69
             cond_pose = jnp.zeros((cond_dim,))
         elif self.renderer.use_person_encoder:
-            latent = self.ts.params["net"]["person_latent"][person_id]
+            latent = params["net"]["person_latent"][person_id]
             cond_pose = jnp.concatenate([jnp.asarray(cond_pose), latent])
-        bundle = self.renderer.implicit_bundle(self.ts.params["net"], person_id)
-        betas = self.ts.params["body"].betas[person_id, 0]
+        bundle = self.renderer.implicit_bundle(params["net"], person_id)
+        betas = params["body"].betas[person_id, 0]
         return lambda pts: np.asarray(
             self._sdf_eval(bundle, cond_pose, betas, jnp.asarray(pts, jnp.float32))
         )
 
-    def extract_canonical_meshes(self, res_up: int | None = None, cond_pose_per_person=None):
+    def extract_canonical_meshes(self, res_up: int | None = None, cond_pose_per_person=None, params=None):
         res_up = self.mesh_res_up if res_up is None else res_up
         meshes = []
         for p in range(self.num_person):
             cp = None if cond_pose_per_person is None else cond_pose_per_person[p]
             verts, faces = generate_mesh(
-                self.canonical_sdf_fn(p, cp),
+                self.canonical_sdf_fn(p, cp, params=params),
                 np.asarray(self.servers[p].verts_c),
                 res_up=res_up,
             )
             meshes.append((verts, faces))
         return meshes
 
-    def refresh_canonical_state(self) -> None:
-        """Re-bake in/off-surface SDF grids from the learned canonical meshes
-        (multiply_model.py:489-508 equivalent)."""
+    def _compute_canonical_grids(self, params=None):
+        """Bake in/off-surface SDF grids from the learned canonical meshes
+        (multiply_model.py:489-508 equivalent). Pure compute — safe to run in
+        a background thread on a params snapshot while training continues;
+        apply the result with _apply_canonical_grids on the main thread."""
         grids = []
         for p in range(self.num_person):
             try:
                 verts, faces = generate_mesh(
-                    self.canonical_sdf_fn(p),
+                    self.canonical_sdf_fn(p, params=params),
                     np.asarray(self.servers[p].verts_c),
                     res_up=self.mesh_res_up,
                 )
@@ -310,22 +338,28 @@ class Trainer:
                 grids.append(
                     jax.tree.map(lambda x: x[p], self.person_state.cano_grid)
                 )
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *grids)
+
+    def _apply_canonical_grids(self, stacked) -> None:
         self.person_state = self.person_state._replace(cano_grid=stacked)
         if self.mesh is not None:
             from ..parallel import replicate
 
             self.person_state = replicate(self.person_state, self.mesh)
 
+    def refresh_canonical_state(self, params=None) -> None:
+        self._apply_canonical_grids(self._compute_canonical_grids(params))
+
     # ------------------------------------------------------------------
     # deformed meshes (for instance masks / depth losses)
     # ------------------------------------------------------------------
 
-    def deformed_meshes_for_frame(self, frame_idx: int, res_up: int | None = None, unscale: bool = True):
+    def deformed_meshes_for_frame(self, frame_idx: int, res_up: int | None = None, unscale: bool = True, params=None):
         """Extract canonical meshes and deform to a frame's pose; returns
         ([(verts, faces)], [joints]) in un-normalized (1/scale) space."""
         res_up = self.mesh_res_up if res_up is None else res_up
-        body = self.ts.params["body"]
+        params = self.ts.params if params is None else params
+        body = params["body"]
         meshes, joints = [], []
         for p in range(self.num_person):
             table = jax.tree.map(lambda x: x[p], body)
@@ -357,19 +391,23 @@ class Trainer:
     # epoch-end stages
     # ------------------------------------------------------------------
 
-    def instance_mask_stage(self, max_workers: int = 4) -> None:
+    def instance_mask_stage(self, max_workers: int = 4, params=None,
+                            epoch: int | None = None) -> None:
         """Frames are independent — run them host-parallel (the C++ MISE
         octree and rasterizer are handle-based and release the GIL via
         ctypes; jitted SDF evals serialize on the device but overlap with
         host meshing). Reference loops frames sequentially."""
         from concurrent.futures import ThreadPoolExecutor
 
+        epoch = self.epoch if epoch is None else epoch
+        stage_params = self.ts.params if params is None else params
+
         def frame_payload(i: int) -> dict:
             item = self.seq.get_eval_item(i)
-            if self.epoch <= 190:
+            if epoch <= 190:
                 # SMPL meshes as prompts early on (multiply_model.py:825-850)
                 meshes, joints = [], []
-                body = self.ts.params["body"]
+                body = stage_params["body"]
                 for p in range(self.num_person):
                     table = jax.tree.map(lambda x: x[p], body)
                     thetas = jnp.concatenate(
@@ -390,7 +428,7 @@ class Trainer:
                     )
                     joints.append(np.asarray(out["smpl_all_jnts"]) / scale)
             else:
-                meshes, joints = self.deformed_meshes_for_frame(i)
+                meshes, joints = self.deformed_meshes_for_frame(i, params=stage_params)
             return {
                 "P": item["P"] @ np.diag([float(self.seq.scale)] * 3 + [1.0]),
                 "img_size": item["img_size"],
@@ -400,21 +438,25 @@ class Trainer:
 
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             frames = list(pool.map(frame_payload, range(self.num_frames)))
-        run_instance_mask_stage(self.epoch, frames, out_dir=self.run_dir)
+        run_instance_mask_stage(epoch, frames, out_dir=self.run_dir)
 
-    def sam_stage(self) -> None:
+    def sam_stage(self, epoch: int | None = None) -> None:
         if self.segmenter is not None:
-            self.segmenter(self.epoch, run_dir=self.run_dir)
+            self.segmenter(self.epoch if epoch is None else epoch,
+                           run_dir=self.run_dir)
 
     # ------------------------------------------------------------------
     # pose-opt step losses (multiply_model.py:195-202)
     # ------------------------------------------------------------------
 
-    def pose_loss_batch(self, frame_idx: int, rng) -> PoseLossBatch | None:
+    def pose_loss_batch(self, frame_idx: int, rng, params=None) -> PoseLossBatch | None:
         """Mesh payload for a MODE_POSE_ONLY step: canonical meshes extracted
         with the frame's pose conditioning (like the reference's per-step
         generate_mesh, multiply_model.py:602-616) plus a SAM-confident pixel
-        sample. Returns None until full-image SAM masks exist."""
+        sample. Returns None until full-image SAM masks exist.
+
+        `params`: donation-proof snapshot for the producer thread (the live
+        self.ts may be donated mid-extraction otherwise)."""
         sam = getattr(self.seq, "_sam_masks", None)
         if sam is None:
             return None
@@ -429,14 +471,15 @@ class Trainer:
         sel = rng.choice(n_valid, M, replace=n_valid < M)
         uv = np.stack([vx[sel], vy[sel]], -1).astype(np.float32)
 
-        body = self.ts.params["body"]
+        params = self.ts.params if params is None else params
+        body = params["body"]
         meshes = []
         for p in range(self.num_person):
             table = jax.tree.map(lambda x: x[p], body)
             cond = np.asarray(table.body_pose[frame_idx]) / np.pi
             try:
                 verts_c, faces = generate_mesh(
-                    self.canonical_sdf_fn(p, jnp.asarray(cond)),
+                    self.canonical_sdf_fn(p, jnp.asarray(cond), params=params),
                     np.asarray(self.servers[p].verts_c),
                     res_up=self.mesh_res_up,
                 )
@@ -480,25 +523,51 @@ class Trainer:
         )
 
     def train_epoch(self) -> dict:
-        """One pass over shuffled frames, with a host prefetch thread loading
-        the next frame's rays while the device steps (the reference feeds a
-        GPU with 8 DataLoader workers; one thread saturates an on-device
-        step)."""
+        """One pass over shuffled frames, with a host prefetch thread that
+        builds the next step's ENTIRE device batch (item sampling, pose-loss
+        mesh payloads, and the host->device transfers) while the device runs
+        the current step (the reference feeds a GPU with 8 DataLoader
+        workers; one producer thread saturates an on-device step). The main
+        thread only dequeues and dispatches — on the remote-tunnel backend
+        every host->device transfer is a round trip, so keeping them off the
+        dispatch thread is most of the 130->~90 ms/step gap
+        (docs/step_overhead.json)."""
         import queue
         import threading
 
         order = self.rng.permutation(self.num_frames)
-        # separate generators: item_rng is consumed by the producer thread,
-        # pose_rng by the main thread's pose_loss_batch — numpy Generators are
-        # not thread-safe, so sharing one would race every MODE_POSE_ONLY step
+        # separate generators: both are consumed by the producer thread, but
+        # item/pose streams stay independent so mode flips don't shift the
+        # item sampling sequence
         item_rng = np.random.default_rng(self.rng.integers(0, 2**31))
         pose_rng = np.random.default_rng(self.rng.integers(0, 2**31))
+        # ONE PRNG dispatch for the whole epoch: a per-step jax.random.split
+        # is a compiled-program round trip through the tunnel
+        keys = jax.random.split(self.key, self.num_frames + 1)
+        self.key = keys[0]
         q: queue.Queue = queue.Queue(maxsize=2)
+        # pose-only epochs: the producer's mesh extraction must read a
+        # donation-proof epoch-start copy of the params (the reference
+        # re-extracts per step from live params; one epoch of staleness is
+        # the same order of drift)
+        snap = self._params_snapshot() if self._pose_window() else None
 
         def producer():
-            for i in order:
-                q.put(self.seq.get_train_item(int(i), item_rng))
-            q.put(None)
+            try:
+                for i in order:
+                    item = self.seq.get_train_item(int(i), item_rng)
+                    has_sam = "sam_mask" in item
+                    mode = self._select_mode(item.get("is_certain", True), has_sam)
+                    batch = self.make_batch(item, mode)
+                    pose_batch = (
+                        self.pose_loss_batch(int(i), pose_rng, params=snap)
+                        if mode == MODE_POSE_ONLY
+                        else None
+                    )
+                    q.put((mode, batch, pose_batch))
+                q.put(None)
+            except BaseException as e:  # surface in the main thread
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -506,21 +575,17 @@ class Trainer:
         logs = None
         mode_counts = {MODE_JOINT: 0, MODE_POSE_ONLY: 0, MODE_DELAYED_POSE: 0}
         self.ts = self.ts._replace(epoch=jnp.asarray(self.epoch, jnp.int32))
+        step_i = 0
         while True:
-            item = q.get()
-            if item is None:
+            got = q.get()
+            if got is None:
                 break
-            has_sam = "sam_mask" in item
-            mode = self._select_mode(item.get("is_certain", True), has_sam)
+            if isinstance(got, BaseException):
+                raise got
+            mode, batch, pose_batch = got
             mode_counts[mode] += 1
-            batch = self.make_batch(item, mode)
-            pose_batch = (
-                self.pose_loss_batch(int(item["idx"]), pose_rng)
-                if mode == MODE_POSE_ONLY
-                else None
-            )
-            self.key, k = jax.random.split(self.key)
-            self.ts, logs = self._run_step(batch, k, pose_batch)
+            step_i += 1
+            self.ts, logs = self._run_step(batch, keys[step_i], pose_batch)
         t.join()
         out = {k: float(v) for k, v in (logs or {}).items()}
         out["n_joint"] = float(mode_counts[MODE_JOINT])
@@ -531,7 +596,40 @@ class Trainer:
     def fit(self, max_epochs: int, log_every: int = 10, ckpt_every: int = 100,
             val_every: int = 50, ckpt_dir: str | None = None,
             render_val: bool = True) -> None:
+        """Training loop with epoch-end stages (reference
+        training_epoch_end, multiply_model.py:489-519).
+
+        With model.stage_overlap=true the /20 mesh refresh and the /50
+        instance-mask + SAM stages run in a background thread on a
+        donation-proof params snapshot while the next epoch trains — the
+        stages are feedback-delayed by design (the reference consumes their
+        file outputs on the NEXT dataloader pass too), so one epoch of
+        staleness changes nothing semantically but removes their wall-clock
+        from the critical path (docs/runlog_fullscale.md measured 36-62 s
+        per mesh refresh on this host)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..utils.logging import MetricsLogger
+
+        overlap = bool(self.conf.model.get("stage_overlap", False))
+        stage_pool = ThreadPoolExecutor(max_workers=1) if overlap else None
+        mesh_fut = None  # -> stacked canonical grids (applied on main thread)
+        mask_fut = None  # -> None (publishes files the data layer polls)
+
+        def harvest(wait_mesh: bool, wait_mask: bool) -> None:
+            nonlocal mesh_fut, mask_fut
+            if mesh_fut is not None and (wait_mesh or mesh_fut.done()):
+                try:
+                    self._apply_canonical_grids(mesh_fut.result())
+                except Exception as e:  # stage failure must never kill training
+                    print(f"overlapped mesh refresh failed: {e}")
+                mesh_fut = None
+            if mask_fut is not None and (wait_mask or mask_fut.done()):
+                try:
+                    mask_fut.result()
+                except Exception as e:
+                    print(f"overlapped mask/SAM stage failed: {e}")
+                mask_fut = None
 
         metrics = MetricsLogger(self.run_dir)
         for _ in range(max_epochs - self.epoch):
@@ -545,11 +643,30 @@ class Trainer:
                 )
                 print(f"epoch {self.epoch} ({logs['epoch_seconds']:.1f}s) {msg}")
 
+            if overlap:
+                harvest(wait_mesh=False, wait_mask=False)
+
             if self.epoch != 0 and self.epoch % 20 == 0:
-                self.refresh_canonical_state()
+                if overlap:
+                    harvest(wait_mesh=True, wait_mask=False)
+                    mesh_fut = stage_pool.submit(
+                        self._compute_canonical_grids, self._params_snapshot()
+                    )
+                else:
+                    self.refresh_canonical_state()
             if self.epoch % val_every == 0 and self.using_sam:
-                self.instance_mask_stage()
-                self.sam_stage()
+                if overlap:
+                    harvest(wait_mesh=False, wait_mask=True)
+                    snap, ep = self._params_snapshot(), self.epoch
+
+                    def mask_job(snap=snap, ep=ep):
+                        self.instance_mask_stage(params=snap, epoch=ep)
+                        self.sam_stage(epoch=ep)
+
+                    mask_fut = stage_pool.submit(mask_job)
+                else:
+                    self.instance_mask_stage()
+                    self.sam_stage()
             if self.epoch % val_every == 0 and render_val:
                 try:
                     psnr = self.validate()
@@ -557,10 +674,15 @@ class Trainer:
                 except Exception as e:  # validation must never kill training
                     print(f"validation render failed: {e}")
             if self.epoch in self.depth_epoch and self.depth_end:
+                if overlap:  # opt_depth rewrites body params: settle stages
+                    harvest(wait_mesh=True, wait_mask=True)
                 self.opt_depth()
             if ckpt_dir and self.epoch % ckpt_every == 0:
                 self.save_checkpoint(ckpt_dir)
             self.epoch += 1
+        if overlap:
+            harvest(wait_mesh=True, wait_mask=True)
+            stage_pool.shutdown(wait=True)
         if ckpt_dir:
             self.save_checkpoint(ckpt_dir, tag="last")
         metrics.close()

@@ -1,11 +1,16 @@
 """Where do the trainer's per-step milliseconds go on the chip?
 
-The full-scale run measured 130 ms/step THROUGH the trainer loop while
-bench.py measures 87.5 ms for the raw jitted step — this script breaks the
-gap into phases at the production config: dataset item sampling, batch
-construction (host->device), RNG split, step dispatch, device sync.
+Round 4 measured 130 ms/step THROUGH the trainer loop vs 87.5 ms for the raw
+jitted step. This script quantifies the gap and its remedies at the
+production config:
 
-Usage: python scripts/step_overhead.py [--epochs 3] [--conf confs/synthetic_fullscale.yaml]
+  * raw_step_ms        — the jitted step alone (fixed batch, pipelined)
+  * trainer_step_ms    — through trainer.train_epoch() (prefetch producer
+                         builds batches + H2D transfers concurrently)
+  * host phases        — standalone cost of item sampling / batch build /
+                         PRNG split (what the producer thread hides)
+
+Usage: python scripts/step_overhead.py [--epochs 5] [--conf confs/synthetic_fullscale.yaml]
 Writes docs/step_overhead.json.
 """
 
@@ -22,7 +27,7 @@ sys.path.insert(0, ROOT)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--conf", default=os.path.join(ROOT, "confs", "synthetic_fullscale.yaml"))
-    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--out", default=os.path.join(ROOT, "docs", "step_overhead.json"))
     args = ap.parse_args()
 
@@ -31,7 +36,9 @@ def main():
     import numpy as np
 
     from multiply_tpu.config import load_config
+    from multiply_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     conf = load_config(args.conf)
     train_opt = conf.dataset.train
 
@@ -52,7 +59,6 @@ def main():
     )
     print(f"[{time.time()-t0:.0f}s] scene ready", flush=True)
 
-    sys.path.insert(0, ROOT)
     from train import build_servers
 
     servers = build_servers(conf, seq)
@@ -71,55 +77,70 @@ def main():
     print(f"[{time.time()-t0:.0f}s] warmup epoch (compile) {time.time()-t:.1f}s",
           flush=True)
 
-    import jax.numpy as jnp
-
     from multiply_tpu.engine.train import MODE_JOINT
 
-    phases = {"get_item": 0.0, "make_batch": 0.0, "rng_split": 0.0,
-              "dispatch": 0.0, "sync": 0.0}
-    n_steps = 0
     rng = np.random.default_rng(0)
+    n_frames = trainer.num_frames
+
+    # --- host phases, standalone (what the producer thread must hide) -----
+    n_probe = 32
+    t = time.time()
+    items = [trainer.seq.get_train_item(int(i % n_frames), rng) for i in range(n_probe)]
+    get_item_ms = (time.time() - t) / n_probe * 1e3
+
+    t = time.time()
+    for it in items:
+        b = trainer.make_batch(it, MODE_JOINT)
+    jax.block_until_ready(b.uv)
+    make_batch_ms = (time.time() - t) / n_probe * 1e3
+
+    t = time.time()
+    k = trainer.key
+    for _ in range(n_probe):
+        k, sub = jax.random.split(k)
+    jax.block_until_ready(sub)
+    rng_split_ms = (time.time() - t) / n_probe * 1e3
+
+    # --- raw jitted step: fixed batch, pipelined dispatch ------------------
+    batch = trainer.make_batch(items[0], MODE_JOINT)
+    key = jax.random.PRNGKey(1)
+    ts = trainer.ts
+    n_raw = 32
+    ts, logs = trainer._step(ts, batch, key, trainer.person_state, None)
+    float(logs["loss"])  # sync after warm call
+    t = time.time()
+    for _ in range(n_raw):
+        ts, logs = trainer._step(ts, batch, key, trainer.person_state, None)
+    float(logs["loss"])  # host sync through the relay
+    raw_step_ms = (time.time() - t) / n_raw * 1e3
+    trainer.ts = ts
+    print(f"[{time.time()-t0:.0f}s] raw step {raw_step_ms:.1f} ms", flush=True)
+
+    # --- through the trainer loop ------------------------------------------
     wall0 = time.time()
+    n_steps = 0
     for _ in range(args.epochs):
-        trainer.ts = trainer.ts._replace(
-            epoch=jnp.asarray(trainer.epoch, jnp.int32)
-        )
-        order = rng.permutation(trainer.num_frames)
-        logs = None
-        for i in order:
-            t = time.time()
-            item = trainer.seq.get_train_item(int(i), rng)
-            phases["get_item"] += time.time() - t
-
-            t = time.time()
-            batch = trainer.make_batch(item, MODE_JOINT)
-            phases["make_batch"] += time.time() - t
-
-            t = time.time()
-            trainer.key, k = jax.random.split(trainer.key)
-            phases["rng_split"] += time.time() - t
-
-            t = time.time()
-            trainer.ts, logs = trainer._run_step(batch, k)
-            phases["dispatch"] += time.time() - t
-            n_steps += 1
-        t = time.time()
-        jax.block_until_ready(logs)
-        float(logs["loss"])
-        phases["sync"] += time.time() - t
+        logs = trainer.train_epoch()
         trainer.epoch += 1
-    wall = time.time() - wall0
+        n_steps += n_frames
+    trainer_step_ms = (time.time() - wall0) / n_steps * 1e3
 
-    per_step = {k: round(v / n_steps * 1e3, 2) for k, v in phases.items()}
     result = {
-        "steps": n_steps,
-        "wall_ms_per_step": round(wall / n_steps * 1e3, 2),
-        "phase_ms_per_step": per_step,
-        "host_ms_per_step": round(
-            sum(v for k, v in per_step.items() if k != "sync"), 2
-        ),
+        "config": os.path.basename(args.conf),
+        "frames_per_epoch": n_frames,
+        "epochs_measured": args.epochs,
+        "raw_step_ms": round(raw_step_ms, 2),
+        "trainer_step_ms": round(trainer_step_ms, 2),
+        "overhead_ms": round(trainer_step_ms - raw_step_ms, 2),
+        "overhead_pct": round(100 * (trainer_step_ms / raw_step_ms - 1), 1),
+        "host_phase_ms": {
+            "get_item": round(get_item_ms, 2),
+            "make_batch_h2d": round(make_batch_ms, 2),
+            "rng_split": round(rng_split_ms, 2),
+        },
     }
     print(json.dumps(result, indent=2), flush=True)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
 

@@ -42,7 +42,9 @@ def main():
     from multiply_tpu.engine.evaluator import Evaluator
     from multiply_tpu.engine.trainer import Trainer
     from multiply_tpu.engine.sam_stage import PriorSegmenter
+    from multiply_tpu.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache()
     conf = load_config(args.conf)
     exp = conf.get("exp", "exp")
     run = conf.get("run", "run")

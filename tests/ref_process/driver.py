@@ -190,6 +190,11 @@ def build_reference(workdir: str, scene, smpl_dir: str, betas_path: str,
 
     stubs.install(smpl_model_dir=smpl_dir, base_dir=workdir)
     if REF not in sys.path:
+        # bind the REPO's train.py in sys.modules first: REF also has a
+        # top-level train.py, and tests that later do `from train import
+        # build_servers` (test_trainer etc.) must keep getting ours
+        import train  # noqa: F401
+
         sys.path.insert(0, REF)
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self

@@ -82,6 +82,39 @@ def test_epoch_runs_and_stages_write_artifacts(trainer):
     assert np.isfinite(tr.seq.smpl_sam_iou).all()
 
 
+def test_fit_stage_overlap(trainer, tmp_path):
+    """model.stage_overlap=true: fit() runs the /20 mesh refresh and /50
+    instance+SAM stages in a background thread on a params snapshot; the
+    epochs complete, the stage artifacts land, and the refreshed grids are
+    applied to person_state after the background bake finishes."""
+    import jax
+    import jax.numpy as jnp
+
+    tr, run_dir = trainer
+    tr.conf.model["stage_overlap"] = True
+    start = tr.epoch
+    # land exactly on a /20 boundary so the overlapped mesh refresh fires
+    tr.epoch = 19
+    # module-scoped fixture: restore the trainer afterwards so later tests
+    # (mesh-at-init sphere check etc.) see an untrained model. DEEP copies —
+    # _step donates tr.ts, so a reference alone would hold deleted buffers.
+    ts_snap = jax.tree.map(jnp.array, tr.ts)
+    state_snap = jax.tree.map(jnp.array, tr.person_state)
+    old_grid = np.asarray(tr.person_state.cano_grid["grid"]).copy()
+    try:
+        tr.fit(max_epochs=22, log_every=100, val_every=20, render_val=False)
+        new_grid = np.asarray(tr.person_state.cano_grid["grid"]).copy()
+    finally:
+        tr.conf.model["stage_overlap"] = False
+        tr.epoch = start
+        tr.ts = ts_snap
+        tr.person_state = state_snap
+    assert not np.allclose(old_grid, new_grid), "overlapped refresh not applied"
+    assert glob.glob(
+        os.path.join(run_dir, "stage_sam_mask", "00020", "sam_opt_mask.npy")
+    ), "overlapped instance+SAM stage did not publish"
+
+
 def test_canonical_refresh_and_mesh_extraction(trainer):
     tr, run_dir = trainer
     meshes = tr.extract_canonical_meshes()
@@ -162,7 +195,10 @@ def test_pose_only_step_adds_mesh_losses(trainer):
     batch = tr.make_batch(item, MODE_POSE_ONLY)
     net_before = jax.tree.map(lambda x: np.asarray(x).copy(), tr.ts.params["net"])
     body_before = np.asarray(tr.ts.params["body"].transl).copy()
+    # _step donates its train-state argument: reassign tr.ts immediately or
+    # the shared fixture is left holding deleted buffers for later tests
     ts2, logs = tr._step(tr.ts, batch, jax.random.PRNGKey(3), tr.person_state, pb)
+    tr.ts = ts2
     for k in (
         "pose_depth_order_loss",
         "pose_silhouette_loss",

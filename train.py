@@ -61,11 +61,28 @@ def main():
         help="trace N training steps, print the per-HLO-category device-time "
              "table, write <run_dir>/profile/summary.json, and exit",
     )
+    ap.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VAL", dest="sets",
+        help="dotted config override, e.g. --set model.stage_overlap=true "
+             "(YAML-parsed value; repeatable)",
+    )
     args = ap.parse_args()
 
-    from multiply_tpu.config import load_config
+    import yaml
 
-    conf = load_config(args.conf)
+    from multiply_tpu.config import load_config
+    from multiply_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    overrides: dict = {}
+    for kv in args.sets:
+        key, _, val = kv.partition("=")
+        node = overrides
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = yaml.safe_load(val)
+    conf = load_config(args.conf, overrides=overrides or None)
 
     exp = conf.get("exp", "exp")
     run = conf.get("run", "run")
