@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from multiply_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
 from multiply_tpu.body.params import BodyParamTable
 from multiply_tpu.config import Config
 from multiply_tpu.data.synthetic import make_scene, sample_rays

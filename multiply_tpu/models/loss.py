@@ -81,8 +81,18 @@ def eikonal(grad_theta: jnp.ndarray) -> jnp.ndarray:
 
 
 def bce_opacity(acc_map: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """Entropy sharpening of accumulated opacity (loss.py:40-42)."""
-    a = acc_map
+    """Entropy sharpening of accumulated opacity (loss.py:40-42).
+
+    acc is clamped to [0, 1] BEFORE the logs: composite rounding can push
+    acc slightly past 1 (the reference's packed composite does too —
+    bf16-precision cross-person attenuation sums did it for ours on TPU),
+    and log(1-a+eps) then goes NaN. The reference guards this with a
+    Python-level branch (loss.py:125-128) that fully DETACHES the NaN
+    graph; a traced jnp.where is not equivalent — the backward still
+    computes 0 * log(negative) = NaN and poisons every grad upstream of
+    acc_map. Clamping (clip routes grad 0 to out-of-range inputs via
+    select) is the jit-compatible fix."""
+    a = jnp.clip(acc_map, 0.0, 1.0)
     loss = -(a * jnp.log(a + eps) + (1 - a) * jnp.log(1 - a + eps)).mean() * 2
     return jnp.where(jnp.isfinite(loss), loss, 0.0)
 

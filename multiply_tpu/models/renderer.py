@@ -561,8 +561,12 @@ class MultiplyRenderer:
                         m = ends[q][:, None, :] <= ends[p][:, :, None]
                     else:
                         m = ends[q][:, None, :] < ends[p][:, :, None]
+                    # HIGHEST: the cross-attenuation sum must be exact-ish —
+                    # bf16 underestimates let Σ w_p exceed 1 (acc_map > 1
+                    # NaNs the bce backward); the matvec is ~10 MFLOPs, noise
                     acc = acc + jnp.einsum(
-                        "rij,rj->ri", m.astype(fe.dtype), fe[q]
+                        "rij,rj->ri", m.astype(fe.dtype), fe[q],
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                 cross.append(acc)
             cross = jnp.stack(cross)  # (P,R,S)

@@ -98,5 +98,18 @@ def test_bce_opacity_nan_guard():
     assert float(bce_opacity(jnp.asarray([jnp.nan, 0.5]))) == 0.0
 
 
+def test_bce_opacity_saturated_acc_finite_grads():
+    """acc slightly past 1 (composite rounding) must give FINITE grads: a
+    traced where(isfinite) guard alone still backprops 0*log(negative)=NaN
+    through the saturated pixels and poisons every param upstream of acc_map
+    (the round-5 TPU demo regression — all updates skipped)."""
+    import jax
+
+    a = jnp.asarray([0.5, 1.0 + 3e-3, -1e-3, 1.0])
+    val, grad = jax.value_and_grad(bce_opacity)(a)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+
+
 def test_masked_mean_empty():
     assert float(masked_mean(jnp.ones(4), jnp.zeros(4, bool))) == 0.0
