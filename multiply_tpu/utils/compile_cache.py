@@ -22,9 +22,12 @@ DEFAULT_DIR = os.environ.get(
 def enable_compile_cache(path: str | None = None) -> str | None:
     """Enable jax's persistent compilation cache at `path` (best-effort:
     some backends/plugins don't support serialized executables; failures
-    only cost us the cache, never the run)."""
+    only cost us the cache, never the run). Set MULTIPLY_TPU_NO_COMPILE_CACHE=1
+    to opt out (e.g. if a remote-compile backend serializes slowly)."""
     import jax
 
+    if os.environ.get("MULTIPLY_TPU_NO_COMPILE_CACHE"):
+        return None
     path = path or DEFAULT_DIR
     try:
         os.makedirs(path, exist_ok=True)
